@@ -1,0 +1,267 @@
+"""DeepSDF latent decoder (+ scale head), TPU-native.
+
+Behavioral parity target: the reference decoder at
+sdfrenderer/deepsdf/networks/deep_sdf_decoder_scale.py:9-113 — an MLP
+(latent+3) -> dims -> 1 with latent re-injection at `latent_in` layers,
+optional weight-norm / LayerNorm, final tanh, plus a small latent -> 1
+scale head (deep_sdf_decoder_scale.py:68-75,109-113).
+
+TPU design: the decoder is evaluated on the full sample grid as one batched
+matmul chain (N x (L+3) @ (L+3) x H ...) — N = density^3 = 64k rows keeps
+the MXU busy; no per-point loop exists anywhere. Weight-norm is expressed as
+a parameterization (w = g * v / ||v||_row) so imported PyTorch checkpoints
+reproduce bit-comparable numerics while the module stays trainable.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class DeepSDFConfig:
+    latent_size: int
+    dims: tuple[int, ...]
+    dropout: tuple[int, ...] = ()
+    dropout_prob: float = 0.0
+    norm_layers: tuple[int, ...] = ()
+    latent_in: tuple[int, ...] = ()
+    weight_norm: bool = False
+    xyz_in_all: bool = False
+    use_tanh: bool = False
+    latent_dropout: bool = False
+
+    @property
+    def layer_dims(self) -> tuple[int, ...]:
+        """Full [in] + dims + [out] list, as deep_sdf_decoder_scale.py:29."""
+        return (self.latent_size + 3, *self.dims, 1)
+
+    @property
+    def num_layers(self) -> int:
+        return len(self.layer_dims)
+
+    def layer_io(self, l: int) -> tuple[int, int]:
+        """(in_dim, out_dim) of linear layer l, matching reference :42-49."""
+        # NOTE: the reference constructor uses dims[l] directly as the input
+        # width (deep_sdf_decoder_scale.py:51-54) — the concat bookkeeping is
+        # baked into the *output* widths of the preceding layer (:42-46), so
+        # at latent_in layers the previous out_dim is dims[l] - dims[0] and
+        # the concat restores exactly dims[l].
+        dims = self.layer_dims
+        in_dim = dims[l]
+        if l + 1 in self.latent_in:
+            out_dim = dims[l + 1] - dims[0]
+        else:
+            out_dim = dims[l + 1]
+            if self.xyz_in_all and l != self.num_layers - 2:
+                out_dim -= 3
+        return in_dim, out_dim
+
+    @classmethod
+    def from_specs(cls, specs: dict) -> "DeepSDFConfig":
+        """Build from a DeepSDF specs.json dict (workspace.py:167-175)."""
+        ns = dict(specs["NetworkSpecs"])
+        ns.pop("samples_per_scene", None)
+        return cls(
+            latent_size=specs["CodeLength"],
+            dims=tuple(ns.get("dims", ())),
+            dropout=tuple(ns.get("dropout") or ()),
+            dropout_prob=ns.get("dropout_prob", 0.0),
+            norm_layers=tuple(ns.get("norm_layers") or ()),
+            latent_in=tuple(ns.get("latent_in") or ()),
+            weight_norm=bool(ns.get("weight_norm", False)),
+            xyz_in_all=bool(ns.get("xyz_in_all", False)),
+            use_tanh=bool(ns.get("use_tanh", False)),
+            latent_dropout=bool(ns.get("latent_dropout", False)),
+        )
+
+    @classmethod
+    def from_specs_file(cls, path: str) -> "DeepSDFConfig":
+        with open(path) as f:
+            return cls.from_specs(json.load(f))
+
+
+def _dense_init(key, in_dim, out_dim, dtype):
+    """torch nn.Linear default init: U(-1/sqrt(in), 1/sqrt(in))."""
+    kw, kb = jax.random.split(key)
+    bound = 1.0 / np.sqrt(in_dim)
+    w = jax.random.uniform(kw, (in_dim, out_dim), dtype, -bound, bound)
+    b = jax.random.uniform(kb, (out_dim,), dtype, -bound, bound)
+    return w, b
+
+
+def init_params(cfg: DeepSDFConfig, key: jax.Array, dtype=jnp.float32) -> dict:
+    """Initialize a parameter pytree.
+
+    Layout:
+      params['lin{l}'] = {'w': (in,out), 'b': (out,)} or, under weight-norm
+      at layer l in norm_layers, {'v': (in,out), 'g': (out,), 'b': (out,)}.
+      params['ln{l}'] = {'scale': (out,), 'bias': (out,)} for LayerNorm layers.
+      params['scale_net'] = [{'w','b'} x3] for the latent->1 scale head.
+    """
+    params: dict[str, Any] = {}
+    keys = jax.random.split(key, cfg.num_layers + 3)
+    for l in range(cfg.num_layers - 1):
+        in_dim, out_dim = cfg.layer_io(l)
+        w, b = _dense_init(keys[l], in_dim, out_dim, dtype)
+        if cfg.weight_norm and l in cfg.norm_layers:
+            g = jnp.linalg.norm(w, axis=0)
+            params[f"lin{l}"] = {"v": w, "g": g, "b": b}
+        else:
+            params[f"lin{l}"] = {"w": w, "b": b}
+            if (not cfg.weight_norm) and l in cfg.norm_layers:
+                params[f"ln{l}"] = {
+                    "scale": jnp.ones((out_dim,), dtype),
+                    "bias": jnp.zeros((out_dim,), dtype),
+                }
+    sn_dims = [(cfg.latent_size, 3), (3, 3), (3, 1)]
+    sn = []
+    for i, (di, do) in enumerate(sn_dims):
+        w, b = _dense_init(keys[cfg.num_layers - 1 + i], di, do, dtype)
+        sn.append({"w": w, "b": b})
+    params["scale_net"] = sn
+    return params
+
+
+def _linear(p: dict, x: jax.Array) -> jax.Array:
+    if "v" in p:  # weight-norm parameterization (dim=0 in torch == column here)
+        v = p["v"]
+        w = v * (p["g"] / jnp.linalg.norm(v, axis=0))[None, :]
+    else:
+        w = p["w"]
+    return x @ w + p["b"]
+
+
+def _layer_norm(p: dict, x: jax.Array) -> jax.Array:
+    # torch nn.LayerNorm(eps=1e-5) over last dim
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mu), axis=-1, keepdims=True)
+    return (x - mu) * jax.lax.rsqrt(var + 1e-5) * p["scale"] + p["bias"]
+
+
+def apply_sdf(cfg: DeepSDFConfig, params: dict, inputs: jax.Array) -> jax.Array:
+    """SDF MLP forward on (N, latent+3) inputs -> (N,) sdf.
+
+    Mirrors deep_sdf_decoder_scale.py:78-107 (eval mode: dropout off).
+    """
+    x = inputs
+    last = cfg.num_layers - 2
+    for l in range(cfg.num_layers - 1):
+        if l in cfg.latent_in:
+            x = jnp.concatenate([x, inputs], axis=-1)
+        elif l != 0 and cfg.xyz_in_all:
+            x = jnp.concatenate([x, inputs[:, -3:]], axis=-1)
+        x = _linear(params[f"lin{l}"], x)
+        if l == last and cfg.use_tanh:
+            x = jnp.tanh(x)
+        if l < last:
+            if (not cfg.weight_norm) and l in cfg.norm_layers:
+                x = _layer_norm(params[f"ln{l}"], x)
+            x = jax.nn.relu(x)
+    x = jnp.tanh(x)  # reference always applies self.th (`:106-107`)
+    return x.reshape(-1)
+
+
+def apply_scale(cfg: DeepSDFConfig, params: dict, latent: jax.Array) -> jax.Array:
+    """Scale head on a single latent vector (L,) -> scalar (1,)."""
+    x = latent
+    for i, p in enumerate(params["scale_net"]):
+        x = x @ p["w"] + p["b"]
+        if i < 2:
+            x = jax.nn.relu(x)
+    return x
+
+
+def decode(
+    cfg: DeepSDFConfig, params: dict, latent: jax.Array, points: jax.Array
+) -> tuple[jax.Array, jax.Array]:
+    """Decode a latent on a point set: (sdf (N,), scale (1,)).
+
+    Equivalent to building inputs = cat([latent.expand(N,-1), points]) and
+    calling the reference decoder (refine_css.py:148-152).
+    """
+    n = points.shape[0]
+    inputs = jnp.concatenate(
+        [jnp.broadcast_to(latent[None, :], (n, latent.shape[0])), points], axis=-1
+    )
+    sdf = apply_sdf(cfg, params, inputs)
+    scale = apply_scale(cfg, params, latent)
+    return sdf, scale
+
+
+def sdf_fn(cfg: DeepSDFConfig, params: dict):
+    """Return decoder_fn(latent, points) -> (N,) for ops.grid.surface_from_decoder."""
+
+    def fn(latent, points):
+        n = points.shape[0]
+        inputs = jnp.concatenate(
+            [jnp.broadcast_to(latent[None, :], (n, latent.shape[0])), points],
+            axis=-1,
+        )
+        return apply_sdf(cfg, params, inputs)
+
+    return fn
+
+
+# ---------------------------------------------------------------------------
+# PyTorch checkpoint import (workspace.py:167-188 conventions)
+# ---------------------------------------------------------------------------
+
+def params_from_torch_state(
+    cfg: DeepSDFConfig, state_dict: dict, dtype=jnp.float32
+) -> dict:
+    """Convert a reference decoder state_dict (possibly DataParallel-prefixed)
+    into our parameter pytree. torch Linear stores weight (out,in); we store
+    (in,out)."""
+
+    def get(name):
+        for k in (name, "module." + name):
+            if k in state_dict:
+                v = state_dict[k]
+                arr = np.asarray(v.detach().cpu().numpy() if hasattr(v, "detach") else v)
+                return jnp.asarray(arr, dtype=dtype)
+        raise KeyError(name)
+
+    params: dict[str, Any] = {}
+    for l in range(cfg.num_layers - 1):
+        if cfg.weight_norm and l in cfg.norm_layers:
+            params[f"lin{l}"] = {
+                "v": get(f"lin{l}.weight_v").T,
+                "g": get(f"lin{l}.weight_g").reshape(-1),
+                "b": get(f"lin{l}.bias"),
+            }
+        else:
+            params[f"lin{l}"] = {"w": get(f"lin{l}.weight").T, "b": get(f"lin{l}.bias")}
+            if (not cfg.weight_norm) and l in cfg.norm_layers:
+                params[f"ln{l}"] = {
+                    "scale": get(f"bn{l}.weight"),
+                    "bias": get(f"bn{l}.bias"),
+                }
+    params["scale_net"] = [
+        {"w": get(f"scale_net.{i}.weight").T, "b": get(f"scale_net.{i}.bias")}
+        for i in (0, 2, 4)
+    ]
+    return params
+
+
+def load_torch_checkpoint(path: str, dtype=jnp.float32) -> tuple[DeepSDFConfig, dict]:
+    """Load a reference-format checkpoint pair (<name>.pt + <name>.json).
+
+    Follows setup_dsdf (workspace.py:167-188): specs json next to the .pt,
+    samples_per_scene stripped, DataParallel 'module.' prefixes accepted.
+    """
+    import os
+
+    import torch
+
+    specs_path = os.path.splitext(path)[0] + ".json"
+    cfg = DeepSDFConfig.from_specs_file(specs_path)
+    saved = torch.load(path, map_location="cpu", weights_only=False)
+    state = saved["model_state_dict"] if "model_state_dict" in saved else saved
+    return cfg, params_from_torch_state(cfg, state, dtype=dtype)

@@ -1,0 +1,128 @@
+"""3D sampling grid + zero-isosurface projection.
+
+Reference semantics: sdfrenderer/grid.py (Grid3D.generate_point_grid at
+grid.py:23-40, get_surface_points at grid.py:43-71). The reference obtains
+surface normals by an autograd backward-with-hook trick; here normals are the
+analytic gradient of the SDF w.r.t. the sample points, computed inside the
+forward pass with jax.grad — no graph hygiene needed, and the whole op is
+jittable.
+
+TPU design notes:
+  * The reference's `masked_select` (dynamic shape) is replaced by a
+    fixed-capacity top-k selection: the K points with smallest |sdf| are kept
+    together with a validity mask (|sdf| < threshold). Every downstream
+    consumer (projection, splatting, losses) is mask-aware, so semantics match
+    while all shapes stay static for XLA.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@functools.lru_cache(maxsize=8)
+def _generate_point_grid_np(density: int) -> np.ndarray:
+    """Uniform density^3 grid over [-1,1]^3 with the reference's offset rule.
+
+    Matches grid.py:34-38: every second point (flattened order) gets its x,y
+    shifted by half a grid cell. (The reference comments say "every 2nd z
+    plane" but the code offsets `grid_np[1::2, :2]` in flattened row order —
+    we reproduce the code, not the comment.)
+    """
+    lin = np.linspace(-1.0, 1.0, density)
+    X, Y, Z = np.meshgrid(lin, lin, lin, indexing="ij")
+    grid = np.stack([X, Y, Z], axis=-1).reshape(-1, 3)
+    half_cell = (lin.max() - lin.min()) / density / 2.0
+    grid[1::2, :2] += half_cell
+    return grid.astype(np.float32)
+
+
+def generate_point_grid(density: int, dtype=jnp.float32) -> jax.Array:
+    """Return the (density^3, 3) sample grid as a JAX array."""
+    return jnp.asarray(_generate_point_grid_np(density), dtype=dtype)
+
+
+class SurfacePoints(NamedTuple):
+    """Fixed-capacity surface point set (all arrays have leading dim K).
+
+    points:  (K, 3) projected surface points p - sdf * n
+    nocs:    (K, 3) normalized coords (p + 1) / 2
+    normals: (K, 3) unit normals (grad of sdf wrt p)
+    mask:    (K,)   True where |sdf| < threshold (valid surface point)
+    """
+
+    points: jax.Array
+    nocs: jax.Array
+    normals: jax.Array
+    mask: jax.Array
+
+
+def isosurface_project(
+    points: jax.Array,
+    sdf: jax.Array,
+    normals: jax.Array,
+    capacity: int,
+    threshold: float = 0.03,
+) -> SurfacePoints:
+    """Zero-isosurface projection with fixed output capacity.
+
+    Mirrors grid.py:43-71: project p -> p - sdf * n with n = normalized
+    grad(sdf, p), then keep points with |sdf| < threshold. Instead of a
+    dynamic masked_select we select the `capacity` points with smallest |sdf|
+    and attach a validity mask.
+
+    Args:
+      points:  (N, 3) sample grid.
+      sdf:     (N,) or (N, 1) SDF values at the points.
+      normals: (N, 3) raw (unnormalized) SDF gradients at the points.
+      capacity: number of output slots K (static).
+      threshold: band half-width for surface membership.
+    """
+    sdf = sdf.reshape(-1)
+    norm = jnp.linalg.norm(normals, axis=-1, keepdims=True)
+    normals_unit = normals / jnp.maximum(norm, jnp.finfo(normals.dtype).tiny)
+
+    projected = points - sdf[:, None] * normals_unit
+
+    abs_sdf = jnp.abs(sdf)
+    # Top-k smallest |sdf| -> surface band candidates.
+    neg_abs, idx = jax.lax.top_k(-abs_sdf, capacity)
+    mask = (-neg_abs) < threshold
+
+    pts = jnp.take(projected, idx, axis=0)
+    nrm = jnp.take(normals_unit, idx, axis=0)
+    nocs = (pts + 1.0) / 2.0
+    return SurfacePoints(points=pts, nocs=nocs, normals=nrm, mask=mask)
+
+
+def surface_from_decoder(
+    decoder_fn,
+    latent: jax.Array,
+    points: jax.Array,
+    capacity: int,
+    threshold: float = 0.03,
+) -> tuple[SurfacePoints, jax.Array]:
+    """Decode SDF on `points` and isosurface-project in one jittable call.
+
+    `decoder_fn(latent, points) -> (N,) sdf` must be differentiable in
+    `points`; normals are its per-point gradient, obtained via a single
+    vjp with cotangent 1 (equivalent to the reference's sum().backward(),
+    grid.py:55, but analytic and side-effect free).
+
+    Returns (surface_points, sdf_grid).
+    """
+    sdf, vjp_fn = jax.vjp(lambda p: decoder_fn(latent, p).reshape(-1), points)
+    (grads,) = vjp_fn(jnp.ones_like(sdf))
+    # The reference discards the parameter/latent grads that its inner
+    # backward accumulates (optimizer.py:107); here the vjp w.r.t. points
+    # simply never touches them. Normals enter downstream as values whose
+    # own gradient path flows through the decoder jacobian — matching the
+    # reference where the normals tensor is a grad-carrying leaf.
+    grads = jax.lax.stop_gradient(grads)
+    surf = isosurface_project(points, sdf, grads, capacity, threshold)
+    return surf, sdf

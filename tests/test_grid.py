@@ -1,0 +1,114 @@
+"""Grid generation + isosurface projection: unit and golden-parity tests."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from sdflabel_tpu.ops import grid as grid_ops
+
+from conftest import add_reference_paths
+
+
+def test_grid_shape_and_bounds():
+    g = grid_ops.generate_point_grid(10)
+    assert g.shape == (1000, 3)
+    assert np.all(np.asarray(g[:, 2]) >= -1.0) and np.all(np.asarray(g[:, 2]) <= 1.0)
+
+
+def test_grid_offset_rule():
+    # Every second flattened point gets +half-cell on x,y (grid.py:37).
+    d = 8
+    g = np.asarray(grid_ops.generate_point_grid(d))
+    lin = np.linspace(-1, 1, d)
+    X, Y, Z = np.meshgrid(lin, lin, lin, indexing="ij")
+    base = np.stack([X, Y, Z], -1).reshape(-1, 3)
+    half = (lin.max() - lin.min()) / d / 2
+    expect = base.copy()
+    expect[1::2, :2] += half
+    np.testing.assert_allclose(g, expect.astype(np.float32), atol=1e-6)
+
+
+def test_grid_matches_reference():
+    torch = pytest.importorskip("torch")
+    add_reference_paths()
+    from grid import Grid3D  # reference sdfrenderer/grid.py
+
+    ref = Grid3D(12, "cpu", torch.float32).points.detach().numpy()
+    ours = np.asarray(grid_ops.generate_point_grid(12))
+    np.testing.assert_allclose(ours, ref, atol=1e-6)
+
+
+def _sphere_sdf(p, r=0.5):
+    return jnp.linalg.norm(p, axis=-1) - r
+
+
+def test_isosurface_projection_sphere():
+    pts = grid_ops.generate_point_grid(20)
+    sdf, vjp = jax.vjp(lambda p: _sphere_sdf(p), pts)
+    (grads,) = vjp(jnp.ones_like(sdf))
+    surf = grid_ops.isosurface_project(pts, sdf, grads, capacity=2048)
+    valid_pts = np.asarray(surf.points)[np.asarray(surf.mask)]
+    # Projected points must lie on the r=0.5 sphere.
+    radii = np.linalg.norm(valid_pts, axis=-1)
+    np.testing.assert_allclose(radii, 0.5, atol=1e-3)
+    # NOCS is (p+1)/2.
+    nocs = np.asarray(surf.nocs)[np.asarray(surf.mask)]
+    np.testing.assert_allclose(nocs, (valid_pts + 1) / 2, atol=1e-6)
+
+
+def test_isosurface_matches_reference():
+    """Compare surface extraction vs the reference autograd-hook version."""
+    torch = pytest.importorskip("torch")
+    add_reference_paths()
+    from grid import Grid3D
+
+    density = 16
+    g3d = Grid3D(density, "cpu", torch.float32)
+    w = torch.randn(3, 8) * 0.3
+    b = torch.randn(8) * 0.1
+    v = torch.randn(8, 1) * 0.3
+
+    def torch_sdf(p):
+        return torch.tanh(p @ w + b) @ v + 0.05
+
+    sdf_t = torch_sdf(g3d.points)
+    ref_pts, ref_nocs, ref_norm = g3d.get_surface_points(sdf_t)
+    ref_pts = ref_pts.detach().numpy()
+    ref_nocs = ref_nocs.detach().numpy()
+    ref_norm = ref_norm.detach().numpy()
+
+    wj, bj, vj = (jnp.asarray(x.numpy()) for x in (w, b, v))
+
+    def jax_sdf(_latent, p):
+        return (jnp.tanh(p @ wj + bj) @ vj + 0.05).reshape(-1)
+
+    pts = grid_ops.generate_point_grid(density)
+    surf, sdf_j = grid_ops.surface_from_decoder(jax_sdf, None, pts, capacity=1024)
+    np.testing.assert_allclose(
+        np.asarray(sdf_j), sdf_t.detach().numpy().reshape(-1), atol=1e-5
+    )
+
+    ours_pts = np.asarray(surf.points)[np.asarray(surf.mask)]
+    ours_nocs = np.asarray(surf.nocs)[np.asarray(surf.mask)]
+    ours_norm = np.asarray(surf.normals)[np.asarray(surf.mask)]
+    assert ours_pts.shape[0] == ref_pts.shape[0]
+
+    # Order differs (top-k vs masked_select); sort rows lexicographically.
+    def sort_rows(a):
+        return a[np.lexsort(a.T)]
+
+    np.testing.assert_allclose(sort_rows(ours_pts), sort_rows(ref_pts), atol=1e-5)
+    np.testing.assert_allclose(sort_rows(ours_nocs), sort_rows(ref_nocs), atol=1e-5)
+    np.testing.assert_allclose(sort_rows(ours_norm), sort_rows(ref_norm), atol=1e-4)
+
+
+def test_surface_capacity_mask():
+    pts = grid_ops.generate_point_grid(10)
+    sdf, vjp = jax.vjp(lambda p: _sphere_sdf(p), pts)
+    (grads,) = vjp(jnp.ones_like(sdf))
+    surf = grid_ops.isosurface_project(pts, sdf, grads, capacity=16)
+    assert surf.points.shape == (16, 3)
+    assert surf.mask.shape == (16,)
+    # Capacity smaller than band: all slots valid.
+    assert bool(np.all(np.asarray(surf.mask)))
