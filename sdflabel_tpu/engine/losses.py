@@ -1,0 +1,116 @@
+"""Refinement losses: 3D chamfer-to-LIDAR and projective 2D NOCS loss.
+
+Behavioral parity targets:
+  * loss_3d  <- Optimizer.compute_loss_3d (pipelines/optimizer.py:166-198)
+  * loss_2d  <- Optimizer.compute_loss_2d (pipelines/optimizer.py:200-237)
+
+TPU design: both losses are fully jittable with static shapes.
+  * The reference's per-iteration KDTree host round-trip
+    (optimizer.py:180-181: .detach().cpu() -> sklearn -> back to device) is
+    replaced by an on-device brute-force NN (ops.knn) — the (N, M) distance
+    matrix is one MXU matmul at these sizes.
+  * The reference's dynamic `nonzero()` pixel gathers (optimizer.py:219)
+    become dense per-pixel computations weighted by the nonzero indicator —
+    identical values, static shapes.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from sdflabel_tpu.ops import knn
+
+
+def loss_3d(
+    rendered_pts: jax.Array,
+    rendered_mask: jax.Array,
+    frustum_pts: jax.Array,
+    frustum_mask: jax.Array,
+    scale: jax.Array,
+    threshold: float = 0.2,
+) -> jax.Array:
+    """Mean distance of close NN pairs rendered->frustum (optimizer.py:166-198).
+
+    Args:
+      rendered_pts: (N,3) camera-frame model points (differentiable).
+      rendered_mask: (N,) validity (surface capacity mask & front-facing).
+      frustum_pts: (M,3) scene points ALREADY divided by scale — pass
+        `frustum_raw / scale` so the scale gradient flows through the scene
+        points exactly as in the reference (optimizer.py:84).
+      frustum_mask: (M,) validity of padded scene points.
+      scale: scalar; used (detached) for the distance threshold
+        `threshold / scale` (optimizer.py:186).
+    """
+    dists, idxs = knn.nearest_neighbor(
+        jax.lax.stop_gradient(rendered_pts),
+        jax.lax.stop_gradient(frustum_pts),
+        frustum_mask,
+    )
+    thresh = threshold / jax.lax.stop_gradient(scale).reshape(())
+    close = (dists < thresh) & rendered_mask
+    # differentiable pair distances, matching the re-computed norm at
+    # optimizer.py:189. Double-where guards sqrt(0): masked rows otherwise
+    # contribute NaN cotangents (NaN * 0 = NaN in the backward pass).
+    nn_pts = jnp.take(frustum_pts, idxs, axis=0)
+    d2 = jnp.sum(jnp.square(nn_pts - rendered_pts), axis=-1)
+    safe = d2 > 0
+    pair_d = jnp.where(safe, jnp.sqrt(jnp.where(safe, d2, 1.0)), 0.0)
+    cnt = jnp.sum(close)
+    total = jnp.sum(jnp.where(close, pair_d, 0.0))
+    return jnp.where(cnt > 0, total / jnp.maximum(cnt, 1), 0.0)
+
+
+def loss_2d(
+    rendering_nocs: jax.Array,
+    css_nocs: jax.Array,
+    diam: float = 5.0,
+    threshold_nocs: float = 1.0,
+) -> jax.Array:
+    """Projective NOCS loss (optimizer.py:200-237).
+
+    For every nonzero rendered pixel r, a disc of radius `diam` on the CSS
+    NOCS image is weighted by clamp(diam - |p - r|, 0); the loss is the mean
+    (over rendered pixels, subject to < threshold) of the minimum over p of
+    ||css[p] * w(r,p) - rendered[r]||_2.
+
+    Shapes: rendering_nocs, css_nocs: (3, H, W). Returns scalar. The
+    reference returns NaN when no minimum clears the threshold (empty
+    mean) — we return NaN as well so the caller's NaN guard semantics
+    (optimizer.py:149-151) are preserved.
+    """
+    c, h, w = rendering_nocs.shape
+    p = h * w
+    rend = rendering_nocs.reshape(c, p).T  # (P, 3)
+    css = css_nocs.reshape(c, p).T  # (P, 3)
+
+    nonzero = jnp.sum(rend, axis=-1) != 0  # (P,) rendered nonzero pixels
+
+    ii = jnp.arange(h, dtype=rendering_nocs.dtype)
+    jj = jnp.arange(w, dtype=rendering_nocs.dtype)
+    gy, gx = jnp.meshgrid(ii, jj, indexing="ij")
+    pix = jnp.stack([gy.reshape(-1), gx.reshape(-1)], axis=-1)  # (P,2) (row,col)
+
+    # (R=P, P) pairwise pixel distances; weight = clamp(diam - d, 0)
+    d = jnp.sqrt(knn.pairwise_sq_dists(pix, pix))
+    wgt = jnp.maximum(diam - d, 0.0)  # (P_r, P_p)
+
+    # diff(r, p) = || css[p] * w(r,p) - rend[r] ||_2 over channels
+    # expanded: sum_c (css[p,c] * w - rend[r,c])^2
+    css_sq = jnp.sum(css * css, axis=-1)  # (P,)
+    rend_sq = jnp.sum(rend * rend, axis=-1)  # (P,)
+    cross = rend @ css.T  # (P_r, P_p) — MXU
+    diff_sq = (
+        wgt * wgt * css_sq[None, :] - 2.0 * wgt * cross + rend_sq[:, None]
+    )
+    # Double-where sqrt guard: zero-diff entries (e.g. empty rendered rows
+    # against zero-weighted pixels) must not emit NaN gradients.
+    pos = diff_sq > 0
+    diff = jnp.where(pos, jnp.sqrt(jnp.where(pos, diff_sq, 1.0)), 0.0)
+
+    diff_min = jnp.min(diff, axis=-1)  # (P_r,)
+    sel = nonzero & (diff_min < threshold_nocs)
+    cnt = jnp.sum(sel)
+    mean = jnp.sum(jnp.where(sel, diff_min, 0.0)) / cnt  # NaN when cnt == 0
+    any_nonzero = jnp.any(nonzero)
+    return jnp.where(any_nonzero, mean, 0.0)

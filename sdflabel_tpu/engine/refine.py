@@ -1,0 +1,192 @@
+"""Pose/shape refinement engine — the reference's hot loop, fully jitted.
+
+Behavioral parity target: pipelines/optimizer.py:13-164 —
+  * params {yaw, trans, scale, latent} (optimizer.py:26-40)
+  * MultipleOptimizer = Adam(yaw, trans; lr .01) + SGD(scale lr .01,
+    latent lr 3e-5, momentum 0) (optimizer.py:34-52) -> optax.multi_transform
+  * per iteration: scene / scale, pose-from-yaw with Y row flip, latent
+    renormalized to the unit sphere, DeepSDF decode over the grid, surface
+    extraction, surfel render, 3D NN loss + 2D NOCS loss, NaN/zero-loss
+    skip guard (optimizer.py:84-157)
+
+TPU design: the entire iteration runs inside a lax.scan with ZERO host
+syncs — the reference pays a GPU->CPU->GPU round trip per iteration for its
+sklearn KDTree 3D loss (optimizer.py:180-181) and a .item() per loss print;
+here the scan compiles to one XLA program and the NaN guard is a jnp.where
+on the parameter update. vmap(refine_crop) batches whole crops; see
+parallel/ for the mesh sharding.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from sdflabel_tpu.engine import losses
+from sdflabel_tpu.ops import geometry, grid as grid_ops
+from sdflabel_tpu.renderer import rasterer as rast_mod
+
+
+@dataclasses.dataclass(frozen=True)
+class RefineConfig:
+    iters: int = 60  # config_refine.ini [optimization] iters
+    weight_2d: float = 0.3  # config_refine.ini [losses] 2d_weight
+    weight_3d: float = 0.5  # config_refine.ini [losses] 3d_weight
+    lr_yaw: float = 0.01  # optimizer.py:34
+    lr_trans: float = 0.01  # optimizer.py:36
+    lr_scale: float = 0.01  # optimizer.py:37
+    lr_latent: float = 3e-5  # optimizer.py:38
+    surface_capacity: int = 4096
+    surface_threshold: float = 0.03  # grid.py:43 default
+    loss3d_threshold: float = 0.2  # optimizer.py:166
+    loss2d_diam: float = 5.0  # optimizer.py:200
+    loss2d_threshold: float = 1.0  # optimizer.py:200
+
+
+class RefineParams(NamedTuple):
+    """Optimized parameters (leaf arrays; a pytree for optax)."""
+
+    yaw: jax.Array  # (1,)
+    trans: jax.Array  # (3,)
+    scale: jax.Array  # (1,)
+    latent: jax.Array  # (L,)
+
+
+def make_optimizer(cfg: RefineConfig) -> optax.GradientTransformation:
+    """Adam(yaw, trans) + SGD(scale) + SGD(latent), per-param lrs."""
+    return optax.multi_transform(
+        {
+            "adam": optax.adam(cfg.lr_yaw),  # same lr for yaw & trans
+            "sgd_scale": optax.sgd(cfg.lr_scale),
+            "sgd_latent": optax.sgd(cfg.lr_latent),
+        },
+        RefineParams(yaw="adam", trans="adam", scale="sgd_scale",
+                     latent="sgd_latent"),
+    )
+
+
+def build_render_pose(yaw: jax.Array, trans: jax.Array) -> jax.Array:
+    """4x4 render pose: rot-from-yaw, Y row flipped, trans (optimizer.py:87-90).
+
+    The Y flip happens BEFORE trans is written, so only the rotation row is
+    flipped — translation y keeps its sign.
+    """
+    rot = geometry.rot_from_yaw(yaw)
+    rot = rot * jnp.asarray([1.0, -1.0, 1.0])[:, None]
+    pose = jnp.eye(4, dtype=trans.dtype)
+    pose = pose.at[:3, :3].set(rot.astype(trans.dtype))
+    pose = pose.at[:3, 3].set(trans)
+    return pose
+
+
+class RefineStepOut(NamedTuple):
+    loss: jax.Array
+    loss_2d: jax.Array
+    loss_3d: jax.Array
+    applied: jax.Array  # False when the NaN/zero guard skipped the update
+
+
+def make_refine_fn(
+    sdf_decoder,
+    cfg: RefineConfig,
+    grid_points: jax.Array,
+    K: jax.Array,
+    crop_hw: tuple[int, int],
+):
+    """Build the jit-compiled refinement function for a fixed crop geometry.
+
+    Args:
+      sdf_decoder: fn(latent, points) -> (N,) sdf — e.g.
+        deepsdf.sdf_fn(dsdf_cfg, dsdf_params), or any differentiable SDF.
+
+    Returns refine(params0, nocs_target, frustum_pts, frustum_mask)
+      -> (final RefineParams, RefineStepOut history over iters).
+
+    nocs_target: (3, h, w) CSS NOCS prediction already resized to the crop
+    (the reference F.interpolate's nearest resize happens outside, once —
+    refine pipeline responsibility).
+    frustum_pts/mask: (M, 3), (M,) fixed-capacity scene point cloud.
+    """
+    h, w = crop_hw
+    opt = make_optimizer(cfg)
+
+    def iteration(params: RefineParams, nocs_target, frustum_pts, frustum_mask):
+        # Scene / scale — scale gradient flows via the scene (optimizer.py:84)
+        scene = frustum_pts / params.scale.reshape(())
+
+        pose = build_render_pose(params.yaw, params.trans)
+
+        # F.normalize to the sphere (optimizer.py:96): x / clamp(||x||, 1e-12).
+        # sqrt(max(n2, eps^2)) == clamp(norm, eps) with a NaN-free gradient
+        # at the zero vector.
+        n2 = jnp.sum(jnp.square(params.latent))
+        latent = params.latent / jnp.sqrt(jnp.maximum(n2, 1e-24))
+
+        surf, _sdf = grid_ops.surface_from_decoder(
+            sdf_decoder, latent, grid_points,
+            capacity=cfg.surface_capacity, threshold=cfg.surface_threshold,
+        )
+
+        rendering, points = rast_mod.render(
+            K, (w, h), surf.points, surf.normals, surf.normals, pose,
+            point_mask=surf.mask, rot="dcm", primitives="disc",
+            output_nocs=True,
+        )
+
+        l3d = losses.loss_3d(
+            points.xyz, points.front_mask, scene, frustum_mask,
+            params.scale, threshold=cfg.loss3d_threshold,
+        )
+        l2d = losses.loss_2d(
+            rendering.color, nocs_target,
+            diam=cfg.loss2d_diam, threshold_nocs=cfg.loss2d_threshold,
+        )
+        return cfg.weight_3d * l3d + cfg.weight_2d * l2d, (l2d, l3d)
+
+    def step(carry, _):
+        params, opt_state, nocs_target, frustum_pts, frustum_mask = carry
+        (loss, (l2d, l3d)), grads = jax.value_and_grad(iteration, has_aux=True)(
+            params, nocs_target, frustum_pts, frustum_mask
+        )
+        # NaN / zero-loss guard (optimizer.py:149-151): skip the update.
+        ok = jnp.isfinite(loss) & (loss != 0.0)
+        grads = jax.tree.map(
+            lambda g: jnp.where(ok & jnp.isfinite(g).all(), g, 0.0), grads
+        )
+        updates, new_opt_state = opt.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        new_params = jax.tree.map(
+            lambda new, old: jnp.where(ok, new, old), new_params, params
+        )
+        new_opt_state = jax.tree.map(
+            lambda new, old: jnp.where(ok, new, old), new_opt_state, opt_state
+        )
+        out = RefineStepOut(loss=loss, loss_2d=l2d, loss_3d=l3d, applied=ok)
+        return (new_params, new_opt_state, nocs_target, frustum_pts,
+                frustum_mask), out
+
+    def refine(params0: RefineParams, nocs_target, frustum_pts, frustum_mask):
+        opt_state = opt.init(params0)
+        carry = (params0, opt_state, nocs_target, frustum_pts, frustum_mask)
+        carry, hist = jax.lax.scan(step, carry, None, length=cfg.iters)
+        return carry[0], hist
+
+    return refine
+
+
+def init_refine_params(
+    yaw: float, trans, scale: float, latent, dtype=jnp.float32
+) -> RefineParams:
+    """Pack initial values (refine_css.py:192-196: trans pre-divided by
+    scale is the caller's responsibility, matching `init_pose['tra'] /
+    init_pose['scale']`)."""
+    return RefineParams(
+        yaw=jnp.asarray(yaw, dtype).reshape(1),
+        trans=jnp.asarray(trans, dtype).reshape(3),
+        scale=jnp.asarray(scale, dtype).reshape(1),
+        latent=jnp.asarray(latent, dtype).reshape(-1),
+    )

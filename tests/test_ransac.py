@@ -1,0 +1,151 @@
+"""RANSAC pose init: Kabsch/Procrustes parity + recovery tests."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from sdflabel_tpu.ops import geometry, ransac
+
+from conftest import add_reference_paths
+
+torch = pytest.importorskip("torch")
+add_reference_paths()
+
+from utils.pose import kabsch as ref_kabsch  # noqa: E402
+from utils.pose import procrustes as ref_procrustes  # noqa: E402
+from utils.pose import PoseEstimator as RefPoseEstimator  # noqa: E402
+
+
+def test_kabsch_matches_reference():
+    rng = np.random.RandomState(0)
+    a = rng.randn(4, 3)
+    b = rng.randn(4, 3)
+    r_ref, t_ref = ref_kabsch(a.copy(), b.copy())
+    r_j, t_j = ransac.kabsch(jnp.asarray(a), jnp.asarray(b))
+    np.testing.assert_allclose(np.asarray(r_j), r_ref, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(t_j), t_ref, atol=1e-5)
+    # numpy twin
+    r_n, t_n = geometry.kabsch_np(a, b)
+    np.testing.assert_allclose(r_n, r_ref, atol=1e-10)
+    np.testing.assert_allclose(t_n, t_ref, atol=1e-10)
+
+
+def test_kabsch_batched():
+    rng = np.random.RandomState(1)
+    a = rng.randn(6, 4, 3)
+    b = rng.randn(6, 4, 3)
+    r_b, t_b = ransac.kabsch(jnp.asarray(a), jnp.asarray(b))
+    for i in range(6):
+        r_ref, t_ref = ref_kabsch(a[i].copy(), b[i].copy())
+        np.testing.assert_allclose(np.asarray(r_b[i]), r_ref, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(t_b[i]), t_ref, atol=1e-5)
+
+
+def test_procrustes_matches_reference():
+    rng = np.random.RandomState(2)
+    a = rng.randn(4, 3)
+    # build b as a true similarity transform of a plus noise
+    th = 0.8
+    r = np.array([[np.cos(th), 0, np.sin(th)], [0, 1, 0],
+                  [-np.sin(th), 0, np.cos(th)]])
+    b = 1.7 * (a @ r.T) + np.array([1.0, -2.0, 3.0]) + rng.randn(4, 3) * 0.01
+    out_ref = ref_procrustes(a.copy(), b.copy())
+    assert out_ref is not None
+    c_ref, r_ref, t_ref = out_ref
+    c_j, r_j, t_j, valid = ransac.procrustes(jnp.asarray(a), jnp.asarray(b))
+    assert bool(valid)
+    np.testing.assert_allclose(float(c_j), c_ref, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(r_j), r_ref, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(t_j), t_ref, atol=1e-4)
+    out_np = geometry.procrustes_np(a, b)
+    np.testing.assert_allclose(out_np[0], c_ref, rtol=1e-10)
+
+
+def _make_correspondence_problem(n_model=500, n_scene=200, outlier_frac=0.3,
+                                 scale=2.0, seed=3):
+    rng = np.random.RandomState(seed)
+    model = rng.uniform(-0.5, 0.5, (n_model, 3)).astype(np.float32)
+    colors = (model + 1) / 2  # NOCS-style colors tied to geometry
+    th = 0.6
+    rot = np.array([[np.cos(th), 0, np.sin(th)], [0, 1, 0],
+                    [-np.sin(th), 0, np.cos(th)]], np.float32)
+    tra = np.array([0.3, -0.2, 5.0], np.float32)
+    pick = rng.randint(0, n_model, n_scene)
+    scene = (model[pick] * scale) @ rot.T + tra
+    scene += rng.randn(n_scene, 3).astype(np.float32) * 0.01
+    scene_colors = colors[pick].copy()
+    n_out = int(outlier_frac * n_scene)
+    scene[:n_out] = rng.uniform(-3, 8, (n_out, 3))
+    scene_colors[:n_out] = rng.uniform(0, 1, (n_out, 3))
+    return model, colors, scene, scene_colors, rot, tra
+
+
+def test_ransac_kabsch_recovers_pose():
+    model, colors, scene, scene_colors, rot_gt, tra_gt = \
+        _make_correspondence_problem()
+    pose = ransac.ransac_pose(
+        jnp.asarray(model), jnp.asarray(colors), jnp.ones(len(model), bool),
+        jnp.asarray(scene), jnp.asarray(scene_colors),
+        jnp.ones(len(scene), bool), jax.random.PRNGKey(0),
+        method="kabsch", scale_model=2.0,
+    )
+    assert int(pose.num_inliers) >= 5
+    rot_err = np.linalg.norm(np.asarray(pose.rot) - rot_gt)
+    tra_err = np.linalg.norm(np.asarray(pose.tra) - tra_gt)
+    assert rot_err < 0.05, rot_err
+    assert tra_err < 0.1, tra_err
+
+
+def test_ransac_procrustes_recovers_scale():
+    model, colors, scene, scene_colors, rot_gt, tra_gt = \
+        _make_correspondence_problem(scale=1.8, seed=4)
+    pose = ransac.ransac_pose(
+        jnp.asarray(model), jnp.asarray(colors), jnp.ones(len(model), bool),
+        jnp.asarray(scene), jnp.asarray(scene_colors),
+        jnp.ones(len(scene), bool), jax.random.PRNGKey(1),
+        method="procrustes",
+    )
+    assert int(pose.num_inliers) >= 5
+    assert abs(float(pose.scale) - 1.8) < 0.1
+    rot_err = np.linalg.norm(np.asarray(pose.rot) - rot_gt)
+    assert rot_err < 0.1, rot_err
+
+
+def test_ransac_comparable_to_reference_estimator():
+    """Same synthetic problem through the reference PoseEstimator: our
+    on-device RANSAC must match its solution quality."""
+    model, colors, scene, scene_colors, rot_gt, tra_gt = \
+        _make_correspondence_problem(seed=5)
+    np.random.seed(0)
+    ref_pose = RefPoseEstimator("kabsch", 2.0).estimate(
+        model.copy(), colors.copy(), scene.copy(), scene_colors.copy(),
+        None, None,
+    )
+    assert ref_pose is not None
+    ours = ransac.ransac_pose(
+        jnp.asarray(model), jnp.asarray(colors), jnp.ones(len(model), bool),
+        jnp.asarray(scene), jnp.asarray(scene_colors),
+        jnp.ones(len(scene), bool), jax.random.PRNGKey(2),
+        method="kabsch", scale_model=2.0,
+    )
+    ref_rot_err = np.linalg.norm(ref_pose["rot"] - rot_gt)
+    our_rot_err = np.linalg.norm(np.asarray(ours.rot) - rot_gt)
+    ref_tra_err = np.linalg.norm(ref_pose["tra"] - tra_gt)
+    our_tra_err = np.linalg.norm(np.asarray(ours.tra) - tra_gt)
+    assert our_rot_err <= ref_rot_err + 0.02
+    assert our_tra_err <= ref_tra_err + 0.05
+
+
+def test_ransac_no_pose_when_garbage():
+    rng = np.random.RandomState(7)
+    model = rng.uniform(-0.5, 0.5, (200, 3)).astype(np.float32)
+    colors = (model + 1) / 2
+    scene = rng.uniform(-5, 5, (100, 3)).astype(np.float32)
+    scene_colors = np.ones((100, 3), np.float32) * 5.0  # impossible colors
+    pose = ransac.ransac_pose(
+        jnp.asarray(model), jnp.asarray(colors), jnp.ones(200, bool),
+        jnp.asarray(scene), jnp.asarray(scene_colors), jnp.ones(100, bool),
+        jax.random.PRNGKey(3), method="kabsch", scale_model=2.0,
+    )
+    assert int(pose.num_inliers) < 5  # caller treats as "NO RANSAC POSE FOUND"
