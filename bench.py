@@ -1,0 +1,176 @@
+"""Benchmark: refinement-loop rays/s per chip, forward+backward.
+
+Workload = the production hot loop at reference scale (SURVEY.md §6):
+DeepSDF decode of a 40^3 grid through an 8x512 MLP, isosurface projection,
+32x32 surfel render, 2D NOCS + 3D NN losses, gradients w.r.t.
+{yaw, trans, scale, latent} and optimizer update — i.e. ONE full
+refinement iteration, fwd+bwd, jit-compiled as a lax.scan.
+
+Metric: rays/s = rendered pixels per second of full fwd+bwd iterations
+(each iteration marches H*W = 1024 camera rays against the surface set).
+
+vs_baseline: ratio against the PyTorch reference implementation executing
+the same-scale iteration on this host (CPU torch — the only runnable
+reference backend here; the reference's GPU path needs CUDA). Reported for
+context; measured fresh on every run.
+
+Prints ONE JSON line.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+REPO = "/root/repo"
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+GRID_DENSITY = 40
+CAPACITY = 4096
+CROP = 32
+FRUSTUM = 4096
+DIMS, LAYERS, LATENT = 512, 8, 3
+SCAN_ITERS = 30
+
+
+def build_ours():
+    import jax
+    import jax.numpy as jnp
+
+    from sdflabel_tpu.engine import refine as refine_mod
+    from sdflabel_tpu.models import deepsdf
+    from sdflabel_tpu.ops import grid as grid_ops
+    from sdflabel_tpu.renderer import rasterer as rast_mod
+
+    cfg = deepsdf.DeepSDFConfig(
+        latent_size=LATENT, dims=(DIMS,) * LAYERS,
+        norm_layers=tuple(range(LAYERS)), latent_in=(LAYERS // 2,),
+        weight_norm=True,
+    )
+    params = deepsdf.init_params(cfg, jax.random.PRNGKey(0))
+    decoder = deepsdf.sdf_fn(cfg, params)
+    grid_pts = grid_ops.generate_point_grid(GRID_DENSITY)
+    rcfg = refine_mod.RefineConfig(iters=SCAN_ITERS,
+                                   surface_capacity=CAPACITY)
+    K = jnp.asarray(rast_mod.calibration_matrix((CROP, CROP)))
+    refine_fn = jax.jit(
+        refine_mod.make_refine_fn(decoder, rcfg, grid_pts, K, (CROP, CROP))
+    )
+
+    rng = np.random.RandomState(0)
+    params0 = refine_mod.init_refine_params(
+        0.3, [0.0, 0.0, 4.0], 2.0, [1.0, 0.0, 0.0]
+    )
+    nocs = jnp.asarray(rng.rand(3, CROP, CROP), jnp.float32)
+    frustum = jnp.asarray(rng.randn(FRUSTUM, 3) + [0, 0, 4.0], jnp.float32)
+    fmask = jnp.ones((FRUSTUM,), bool)
+
+    def run():
+        final, hist = refine_fn(params0, nocs, frustum, fmask)
+        jax.block_until_ready(final.yaw)
+
+    return run
+
+
+def bench_ours():
+    run = build_ours()
+    run()  # compile
+    run()  # warm
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        run()
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
+    iters_per_sec = SCAN_ITERS / dt
+    return iters_per_sec * CROP * CROP, iters_per_sec
+
+
+def bench_reference(max_seconds=120.0):
+    """One reference refinement iteration (torch CPU), same scale.
+
+    Uses the reference's own modules (renderer + decoder + losses) driven
+    exactly as optimizer.py:84-157 does.
+    """
+    try:
+        import types
+
+        sys.path.insert(0, "/root/reference/sdfrenderer")
+        sys.path.insert(0, "/root/reference")
+        for name in ("open3d", "open3d.geometry", "open3d.utility",
+                     "open3d.visualization"):
+            if name not in sys.modules:
+                sys.modules[name] = types.ModuleType(name)
+        o3d = sys.modules["open3d"]
+        for sub in ("geometry", "utility", "visualization"):
+            setattr(o3d, sub, sys.modules[f"open3d.{sub}"])
+        if "pyquaternion" not in sys.modules:
+            pq = types.ModuleType("pyquaternion")
+            pq.Quaternion = object
+            sys.modules["pyquaternion"] = pq
+
+        import torch
+
+        torch.set_num_threads(max(1, (os.cpu_count() or 4)))
+        from deepsdf.networks.deep_sdf_decoder_scale import Decoder
+        from grid import Grid3D
+        from pipelines.optimizer import Optimizer
+
+        decoder = Decoder(
+            LATENT, [DIMS] * LAYERS, dropout=None,
+            norm_layers=tuple(range(LAYERS)), latent_in=(LAYERS // 2,),
+            weight_norm=True,
+        ).eval()
+        grid = Grid3D(GRID_DENSITY, "cpu", torch.float32)
+
+        params = {
+            "yaw": np.array([0.3]),
+            "trans": np.array([0.0, 0.0, 4.0]),
+            "scale": np.array([2.0]),
+            "latent": np.array([1.0, 0.0, 0.0]),
+        }
+        opt = Optimizer(params, "cpu", {"2d": 0.3, "3d": 0.5})
+        rng = np.random.RandomState(0)
+        nocs_pred = torch.from_numpy(
+            rng.rand(3, CROP, CROP).astype(np.float32))
+        frustum_np = (rng.randn(FRUSTUM, 3) + [0, 0, 4.0]).astype(np.float32)
+        K = torch.eye(3)
+        K[0, 0] = K[1, 1] = 140.0
+        K[0, 2] = K[1, 2] = CROP / 2
+
+        # time N iterations (the loop prints per iteration; silence stdout)
+        import contextlib, io, os as _os
+
+        n_iter = 3
+        t0 = time.perf_counter()
+        with contextlib.redirect_stdout(io.StringIO()):
+            opt.optimize(n_iter, nocs_pred, frustum_np, decoder, grid, K,
+                         [CROP, CROP], viz_type=None)
+        dt = time.perf_counter() - t0
+        iters_per_sec = n_iter / dt
+        return iters_per_sec * CROP * CROP
+    except Exception as e:
+        print(f"# reference baseline failed: {type(e).__name__}: {e}",
+              file=sys.stderr)
+        return None
+
+
+import os  # noqa: E402  (used in bench_reference)
+
+
+def main():
+    rays_per_sec, iters_per_sec = bench_ours()
+    ref_rays = bench_reference()
+    vs = rays_per_sec / ref_rays if ref_rays else 0.0
+    print(json.dumps({
+        "metric": "refine_rays_per_s_fwd_bwd",
+        "value": round(rays_per_sec, 1),
+        "unit": "rays/s/chip (32x32 render, full refine iter fwd+bwd)",
+        "vs_baseline": round(vs, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

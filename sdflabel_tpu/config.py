@@ -1,0 +1,138 @@
+"""Typed INI config system.
+
+Behavioral parity target: utils/data.py:5-96 (read_cfg_{string,int,float,
+bool,precision}) and the reference config files configs/config_refine.ini /
+configs/config_train.ini — every key is preserved. `precision` maps to jnp
+dtypes; 'float16' requests map to bfloat16 on TPU by default (see
+SURVEY.md §5 precision row) unless strict fp16 is forced.
+"""
+
+from __future__ import annotations
+
+import configparser
+import dataclasses
+
+import jax.numpy as jnp
+
+
+def read_cfg_string(cfgp, section, key, default):
+    if cfgp.has_option(section, key):
+        return cfgp.get(section, key)
+    return default
+
+
+def read_cfg_int(cfgp, section, key, default):
+    if cfgp.has_option(section, key):
+        return cfgp.getint(section, key)
+    return default
+
+
+def read_cfg_float(cfgp, section, key, default):
+    if cfgp.has_option(section, key):
+        return cfgp.getfloat(section, key)
+    return default
+
+
+def read_cfg_bool(cfgp, section, key, default):
+    if cfgp.has_option(section, key):
+        return cfgp.get(section, key) in ["True", "true"]
+    return default
+
+
+def read_cfg_precision(cfgp, section, key, default, prefer_bf16=True):
+    """'float16'/'float32' -> jnp dtype. On TPU, fp16 requests become bf16
+    (same memory, no loss-scaling pain); pass prefer_bf16=False for strict
+    torch-parity numerics."""
+    if cfgp.has_option(section, key):
+        s = cfgp.get(section, key)
+        if s == "float32":
+            return jnp.float32
+        if s == "float16":
+            return jnp.bfloat16 if prefer_bf16 else jnp.float16
+        if s == "bfloat16":
+            return jnp.bfloat16
+    return default
+
+
+@dataclasses.dataclass
+class RefineCfg:
+    """configs/config_refine.ini, all keys."""
+
+    kitti_path: str = "data/db/kitti/"
+    css_path: str = "data/nets/css.pt"
+    deepsdf_path: str = "data/nets/deepsdf.pt"
+    label_type: str = "maskrcnn"  # gt | rcnn | maskrcnn
+    maskrcnn_labels_path: str = ""
+    diff_annos: str = "easy"
+    grid_density: int = 40
+    rendering_area: int = 32
+    iters: int = 60
+    pose_estimator: str = "kabsch"
+    precision: str = "float16"
+    viz_type: str = "none"
+    weight_2d: float = 0.3
+    weight_3d: float = 0.5
+    labels_out: str = "test_labels"
+
+    @classmethod
+    def from_ini(cls, cfgp: configparser.ConfigParser) -> "RefineCfg":
+        return cls(
+            kitti_path=read_cfg_string(cfgp, "input", "kitti_path", cls.kitti_path),
+            css_path=read_cfg_string(cfgp, "input", "css_path", cls.css_path),
+            deepsdf_path=read_cfg_string(cfgp, "input", "deepsdf_path", cls.deepsdf_path),
+            label_type=read_cfg_string(cfgp, "input", "label_type", cls.label_type),
+            maskrcnn_labels_path=read_cfg_string(
+                cfgp, "input", "maskrcnn_labels_path", cls.maskrcnn_labels_path
+            ),
+            diff_annos=read_cfg_string(cfgp, "input", "diff_annos", cls.diff_annos),
+            grid_density=read_cfg_int(cfgp, "input", "grid_density", cls.grid_density),
+            rendering_area=read_cfg_int(cfgp, "input", "rendering_area", cls.rendering_area),
+            iters=read_cfg_int(cfgp, "optimization", "iters", cls.iters),
+            pose_estimator=read_cfg_string(
+                cfgp, "optimization", "pose_estimator", cls.pose_estimator
+            ),
+            precision=read_cfg_string(cfgp, "optimization", "precision", cls.precision),
+            viz_type=read_cfg_string(cfgp, "visualization", "viz_type", cls.viz_type),
+            weight_2d=read_cfg_float(cfgp, "losses", "2d_weight", cls.weight_2d),
+            weight_3d=read_cfg_float(cfgp, "losses", "3d_weight", cls.weight_3d),
+            labels_out=read_cfg_string(cfgp, "output", "labels", cls.labels_out),
+        )
+
+
+@dataclasses.dataclass
+class TrainCfg:
+    """configs/config_train.ini, all keys."""
+
+    data_path: str = "data/db/crops/"
+    css_path: str = "data/nets/css.pt"
+    batch_size: int = 13
+    epochs: int = 5000000
+    lr: float = 0.001
+    queue_size: int = 10
+    cpu_threads: int = 0
+    analyse_epoch: int = 1
+    plot: bool = True
+    log_dir: str = "log/demo/"
+
+    @classmethod
+    def from_ini(cls, cfgp: configparser.ConfigParser) -> "TrainCfg":
+        return cls(
+            data_path=read_cfg_string(cfgp, "input", "data_path", cls.data_path),
+            css_path=read_cfg_string(cfgp, "input", "css_path", cls.css_path),
+            batch_size=read_cfg_int(cfgp, "train", "batch_size", cls.batch_size),
+            epochs=read_cfg_int(cfgp, "train", "epochs", cls.epochs),
+            lr=read_cfg_float(cfgp, "train", "lr", cls.lr),
+            queue_size=read_cfg_int(cfgp, "optimization", "queue_size", cls.queue_size),
+            cpu_threads=read_cfg_int(cfgp, "optimization", "cpu_threads", cls.cpu_threads),
+            analyse_epoch=read_cfg_int(cfgp, "log", "analyse_epoch", cls.analyse_epoch),
+            plot=read_cfg_bool(cfgp, "log", "plot", cls.plot),
+            log_dir=read_cfg_string(cfgp, "log", "dir", cls.log_dir),
+        )
+
+
+def load_ini(path: str) -> configparser.ConfigParser:
+    cfgp = configparser.ConfigParser()
+    read = cfgp.read(path)
+    if not read:
+        raise FileNotFoundError(f"could not read config file {path!r}")
+    return cfgp

@@ -1,0 +1,144 @@
+"""Crops dataset: CSS training crops with synchronized augmentation.
+
+Behavioral parity target: datasets/crops.py — reads `crops.json` +
+`{idx:05d}_rgb.png` / `_uvw.png` pairs, applies color jitter to the RGB,
+then a SYNCHRONIZED random rotation / resize / random-resized-crop to both
+RGB (bilinear) and UVW (nearest), derives the mask as uvw.sum(0) > 0, and
+normalizes RGB by ImageNet statistics (crops.py:44-71).
+
+torch-free: PIL for decode + geometric transforms, numpy for the rest.
+Augmentation parameters are drawn once per sample and applied to both
+images — the reference achieves the same by re-seeding python `random`
+around each torchvision transform call (crops.py:65-70).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import random
+
+import numpy as np
+from PIL import Image
+
+IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+
+def _color_jitter(img: Image.Image, rng: random.Random,
+                  brightness=0.4, contrast=0.4, saturation=0.4, hue=0.2):
+    """torchvision ColorJitter semantics: uniform factors, random order."""
+    from PIL import ImageEnhance
+
+    ops = []
+    b = rng.uniform(max(0.0, 1 - brightness), 1 + brightness)
+    c = rng.uniform(max(0.0, 1 - contrast), 1 + contrast)
+    s = rng.uniform(max(0.0, 1 - saturation), 1 + saturation)
+    h = rng.uniform(-hue, hue)
+    ops.append(lambda im: ImageEnhance.Brightness(im).enhance(b))
+    ops.append(lambda im: ImageEnhance.Contrast(im).enhance(c))
+    ops.append(lambda im: ImageEnhance.Color(im).enhance(s))
+
+    def hue_shift(im):
+        hsv = np.array(im.convert("HSV"), dtype=np.int16)
+        hsv[..., 0] = (hsv[..., 0] + int(h * 255)) % 256
+        return Image.fromarray(hsv.astype(np.uint8), "HSV").convert("RGB")
+
+    ops.append(hue_shift)
+    rng.shuffle(ops)
+    for op in ops:
+        img = op(img)
+    return img
+
+
+def _random_resized_crop_params(rng: random.Random, w: int, h: int,
+                                scale=(0.5, 1.0), ratio=(3 / 4, 4 / 3)):
+    """torchvision RandomResizedCrop.get_params logic."""
+    area = w * h
+    for _ in range(10):
+        target_area = rng.uniform(*scale) * area
+        log_ratio = (np.log(ratio[0]), np.log(ratio[1]))
+        aspect = np.exp(rng.uniform(*log_ratio))
+        cw = int(round(np.sqrt(target_area * aspect)))
+        ch = int(round(np.sqrt(target_area / aspect)))
+        if 0 < cw <= w and 0 < ch <= h:
+            i = rng.randint(0, h - ch)
+            j = rng.randint(0, w - cw)
+            return i, j, ch, cw
+    return 0, 0, h, w  # fallback: full image
+
+
+class Crops:
+    """Training crops dataset. `augment=False` gives deterministic resize."""
+
+    def __init__(self, path: str, augment: bool = True, seed: int | None = None):
+        self.path = path
+        self.augment = augment
+        self._rng = random.Random(seed)
+        with open(os.path.join(path, "crops.json")) as f:
+            self.gt = json.load(f)
+
+    def __len__(self):
+        return len(self.gt)
+
+    def __getitem__(self, idx: int) -> dict:
+        gt_sample = self.gt[str(idx)][0]
+        rgb = Image.open(
+            os.path.join(self.path, f"{idx:05d}_rgb.png")
+        ).convert("RGB")
+        uvw = Image.open(
+            os.path.join(self.path, f"{idx:05d}_uvw.png")
+        ).convert("RGB")
+        crop_size = np.asarray(rgb.size, np.int64)
+
+        latent = np.array(gt_sample["latent"], np.float32)
+        extrinsics = np.array(gt_sample["extrinsics"], np.float32).reshape(4, 4)
+        intrinsics = np.array(gt_sample["intrinsics"], np.float32).reshape(3, 3)
+
+        if self.augment:
+            rng = self._rng
+            rgb = _color_jitter(rgb, rng)
+            # synchronized geometric augs (crops.py:46-70)
+            angle = rng.uniform(-10, 10)
+            rgb = rgb.rotate(angle, Image.BILINEAR, expand=True)
+            uvw = uvw.rotate(angle, Image.NEAREST, expand=True)
+            rgb = rgb.resize((128, 128), Image.BILINEAR)
+            uvw = uvw.resize((128, 128), Image.NEAREST)
+            i, j, ch, cw = _random_resized_crop_params(rng, 128, 128)
+            rgb = rgb.crop((j, i, j + cw, i + ch)).resize((128, 128),
+                                                          Image.BILINEAR)
+            uvw = uvw.crop((j, i, j + cw, i + ch)).resize((128, 128),
+                                                          Image.NEAREST)
+        else:
+            rgb = rgb.resize((128, 128), Image.BILINEAR)
+            uvw = uvw.resize((128, 128), Image.NEAREST)
+
+        rgb_np = np.asarray(rgb, np.float32) / 255.0
+        rgb_np = (rgb_np - IMAGENET_MEAN) / IMAGENET_STD
+        uvw_np = np.asarray(uvw, np.int64)
+        mask = (uvw_np.sum(-1) > 0).astype(np.int64)
+
+        return {
+            "rgb": np.transpose(rgb_np, (2, 0, 1)),  # (3,128,128) float32
+            "uvw": np.transpose(uvw_np, (2, 0, 1)),  # (3,128,128) int64
+            "mask": mask,  # (128,128) int64
+            "latent": latent,
+            "crop_size": crop_size,
+            "intrinsics": intrinsics,
+            "pose": extrinsics,
+        }
+
+
+def batch_iterator(dataset, batch_size: int, shuffle: bool = True,
+                   seed: int = 0, drop_last: bool = False):
+    """Simple epoch iterator yielding stacked numpy batches."""
+    order = np.arange(len(dataset))
+    rng = np.random.RandomState(seed)
+    if shuffle:
+        rng.shuffle(order)
+    for start in range(0, len(order), batch_size):
+        sel = order[start : start + batch_size]
+        if drop_last and len(sel) < batch_size:
+            continue
+        samples = [dataset[int(i)] for i in sel]
+        yield {k: np.stack([s[k] for s in samples]) for k in samples[0]}

@@ -1,0 +1,150 @@
+"""CSS network training: losses, train step, data-parallel sharding.
+
+Behavioral parity target: pipelines/train_css.py:29-91 —
+  * Adam over all parameters at cfg lr (train_css.py:29; frozen early
+    layers get zero updates via an optax mask, matching requires_grad=False
+    at resnet_css.py:156-158)
+  * losses (train_css.py:70-80):
+      loss_u/v/w = CE(logits * mask_ext, target * mask)   [note: the
+        reference feeds log-softmax outputs re-masked back through CE's
+        internal log-softmax — reproduced exactly]
+      loss_mask = 2 * CE(mask_logits, mask_gt)
+      loss_latent = MSE(latent_pred.squeeze(0), latent_gt)
+
+TPU design: the train step is one pjit'd function; the batch is sharded
+over the mesh 'data' axis and parameters are replicated — XLA inserts the
+gradient psum automatically from the sharding annotations (no hand-written
+collectives). BatchNorm batch statistics are computed per-shard (like the
+reference's single-GPU BN; cross-replica sync-BN is not what the reference
+does).
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from sdflabel_tpu.models import css as css_mod
+
+
+class TrainState(NamedTuple):
+    variables: Any  # {'params', 'batch_stats'}
+    opt_state: Any
+    step: jax.Array
+
+
+def cross_entropy_with_internal_softmax(logits, targets, class_axis=1):
+    """torch nn.CrossEntropyLoss(mean) on raw inputs: applies log_softmax
+    internally even if the inputs are already log-probabilities."""
+    logp = jax.nn.log_softmax(logits, axis=class_axis)
+    tgt = jnp.expand_dims(targets, class_axis)
+    picked = jnp.take_along_axis(logp, tgt, axis=class_axis)
+    return -jnp.mean(picked)
+
+
+def css_losses(pred: dict, batch: dict) -> dict:
+    """All training loss terms (train_css.py:70-80)."""
+    mask_gt = batch["mask"].astype(jnp.int64)  # (B,H,W)
+    uvw_gt = batch["uvw"].astype(jnp.int64)  # (B,3,H,W)
+    mask_ext = mask_gt[:, None].astype(pred["u"].dtype)  # (B,1,H,W)
+
+    loss_u = cross_entropy_with_internal_softmax(
+        pred["u"] * mask_ext, uvw_gt[:, 0] * mask_gt
+    )
+    loss_v = cross_entropy_with_internal_softmax(
+        pred["v"] * mask_ext, uvw_gt[:, 1] * mask_gt
+    )
+    loss_w = cross_entropy_with_internal_softmax(
+        pred["w"] * mask_ext, uvw_gt[:, 2] * mask_gt
+    )
+    loss_uvw = loss_u + loss_v + loss_w
+    loss_mask = cross_entropy_with_internal_softmax(pred["mask"], mask_gt) * 2.0
+    loss_latent = jnp.mean(
+        jnp.square(pred["latent"] - batch["latent"].astype(pred["latent"].dtype))
+    )
+    total = loss_uvw + loss_latent + loss_mask
+    return {
+        "loss": total,
+        "loss_uvw": loss_uvw,
+        "loss_mask": loss_mask,
+        "loss_latent": loss_latent,
+    }
+
+
+def make_optimizer(lr: float, params: Any) -> optax.GradientTransformation:
+    """Adam with frozen early layers (conv1/bn1/layer1).
+
+    multi_transform + set_to_zero (NOT optax.masked, which passes raw
+    gradients through for masked-out leaves)."""
+    labels = jax.tree.map(
+        lambda trainable: "train" if trainable else "freeze",
+        css_mod.trainable_mask(params),
+    )
+    return optax.multi_transform(
+        {"train": optax.adam(lr), "freeze": optax.set_to_zero()}, labels
+    )
+
+
+def init_train_state(variables: Any, lr: float) -> TrainState:
+    opt = make_optimizer(lr, variables["params"])
+    return TrainState(
+        variables=variables,
+        opt_state=opt.init(variables["params"]),
+        step=jnp.zeros((), jnp.int32),
+    )
+
+
+def make_train_step(lr: float, sm_hardness: float = 100.0):
+    """Build the jittable train step: (state, batch) -> (state, metrics)."""
+    model = css_mod.CSSNet(use_running_average=False, sm_hardness=sm_hardness)
+
+    def train_step(state: TrainState, batch: dict):
+        opt = make_optimizer(lr, state.variables["params"])
+
+        def loss_fn(params):
+            pred, updates = model.apply(
+                {"params": params,
+                 "batch_stats": state.variables["batch_stats"]},
+                batch["rgb"],
+                mutable=["batch_stats"],
+            )
+            losses = css_losses(pred, batch)
+            return losses["loss"], (losses, updates["batch_stats"])
+
+        (loss, (metrics, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.variables["params"])
+        updates, new_opt_state = opt.update(
+            grads, state.opt_state, state.variables["params"]
+        )
+        new_params = optax.apply_updates(state.variables["params"], updates)
+        new_state = TrainState(
+            variables={"params": new_params, "batch_stats": new_stats},
+            opt_state=new_opt_state,
+            step=state.step + 1,
+        )
+        return new_state, metrics
+
+    return train_step
+
+
+def shard_train_step(train_step, mesh):
+    """Data-parallel pjit: batch sharded over 'data', state replicated.
+
+    XLA derives the gradient all-reduce from the shardings (SURVEY.md §2.D:
+    replaces the reference's absent DP with mesh-native psum).
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    replicated = NamedSharding(mesh, P())
+    batch_sharded = NamedSharding(mesh, P("data"))
+
+    return jax.jit(
+        train_step,
+        in_shardings=(replicated, batch_sharded),
+        out_shardings=(replicated, replicated),
+        donate_argnums=(0,),
+    )

@@ -1,0 +1,430 @@
+"""Pose/shape refinement (autolabeling) pipeline.
+
+Behavioral parity target: pipelines/refine_css.py:26-263 and the demo twin
+refine_css_demo.py:23-204 — per KITTI frame: MaskRCNN label fusion, crop +
+intrinsics adjustment, CSS forward, DeepSDF surface extraction, NOCS
+reprojection, RANSAC pose init, azimuth constraint + height re-estimation,
+refinement, KITTI label dump, in-process evaluation.
+
+TPU design: everything from the CSS forward to the final refined params is
+jit-compiled; the refinement loop is engine.refine's lax.scan. The jit
+cache is keyed by crop shape — repeated crop sizes reuse compiled programs
+(and the parallel.batched_refine path vmaps same-shape crops).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import pickle
+from collections import OrderedDict, defaultdict
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from sdflabel_tpu import config as cfg_mod
+from sdflabel_tpu.data import kitti as kitti_mod
+from sdflabel_tpu.engine import labels as labels_mod
+from sdflabel_tpu.engine import refine as refine_mod
+from sdflabel_tpu.eval.detection3d import (
+    CoordinateFrame,
+    Detection3DEvaluator,
+    clean_kitti_data,
+)
+from sdflabel_tpu.models import css as css_mod
+from sdflabel_tpu.models import deepsdf
+from sdflabel_tpu.ops import geometry, grid as grid_ops, ransac
+from sdflabel_tpu.pipelines.train_css import setup_css
+
+IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+
+def transform_bgr_crop(crop_bgr: np.ndarray):
+    """BGR float crop -> normalized (3,128,128) tensor (refinement.py:60-84)."""
+    from PIL import Image
+
+    rgb8 = (np.clip(crop_bgr[..., ::-1], 0, 1) * 255).astype(np.uint8)
+    im = Image.fromarray(rgb8).resize((128, 128), Image.BILINEAR)
+    arr = np.asarray(im, np.float32) / 255.0
+    norm = (arr - IMAGENET_MEAN) / IMAGENET_STD
+    return np.transpose(norm, (2, 0, 1)), np.transpose(arr, (2, 0, 1))
+
+
+def nearest_resize_chw(img: np.ndarray, hw: tuple[int, int]) -> np.ndarray:
+    """F.interpolate(mode='nearest') for (C,H,W) numpy arrays."""
+    c, h, w = img.shape
+    th, tw = hw
+    ys = (np.arange(th) * h // th).clip(max=h - 1)
+    xs = (np.arange(tw) * w // tw).clip(max=w - 1)
+    return img[:, ys[:, None], xs[None, :]]
+
+
+class RefineRuntime:
+    """Holds compiled models + per-crop-shape refine function cache."""
+
+    def __init__(self, cfg: cfg_mod.RefineCfg, css_variables, dsdf_cfg,
+                 dsdf_params, rng_seed: int = 1,
+                 surface_capacity: int | None = None,
+                 frustum_capacity: int = 8192,
+                 ransac_model_capacity: int = 2048,
+                 ransac_scene_capacity: int = 2048,
+                 ransac_cfg: ransac.RansacConfig | None = None):
+        self.cfg = cfg
+        self.css_variables = css_variables
+        self.dsdf_cfg = dsdf_cfg
+        self.dsdf_params = dsdf_params
+        self.decoder = deepsdf.sdf_fn(dsdf_cfg, dsdf_params)
+        self.grid_points = grid_ops.generate_point_grid(cfg.grid_density)
+        self.surface_capacity = (
+            surface_capacity if surface_capacity is not None
+            else min(8192, cfg.grid_density ** 3)
+        )
+        self.frustum_capacity = frustum_capacity
+        # RANSAC runs on a subsample of model/scene points: the inlier
+        # scoring is H x N x M brute force on the MXU; 2048x2048 per
+        # hypothesis matches KDTree-quality scoring at a fraction of the
+        # FLOPs (pose.py scores against all points via KDTree, but inlier
+        # COUNTS are rank statistics — subsampling preserves the argmax).
+        self.ransac_model_capacity = min(ransac_model_capacity,
+                                         self.surface_capacity)
+        self.ransac_scene_capacity = ransac_scene_capacity
+        self.ransac_cfg = ransac_cfg or ransac.RansacConfig(
+            hypothesis_chunk=16
+        )
+        self.key = jax.random.PRNGKey(rng_seed)
+
+        self._css_model = css_mod.CSSNet(use_running_average=True)
+        self._css_apply = jax.jit(self._css_model.apply)
+        self._surface = jax.jit(
+            lambda latent: grid_ops.surface_from_decoder(
+                self.decoder, latent, self.grid_points,
+                capacity=self.surface_capacity,
+            )
+        )
+        self._refine_cache: dict = {}
+        rcfg = self.ransac_cfg
+        self._ransac = jax.jit(
+            lambda mp, mc, mm, sp, sc, sm, key: ransac.ransac_pose(
+                mp, mc, mm, sp, sc, sm, key, method="kabsch",
+                scale_model=2.0, cfg=rcfg,
+            )
+        )
+        self._ransac_method = cfg.pose_estimator
+
+    def css_forward(self, crop_rgb: np.ndarray) -> dict:
+        return self._css_apply(self.css_variables,
+                               jnp.asarray(crop_rgb[None]))
+
+    def surface(self, latent):
+        return self._surface(jnp.asarray(latent))
+
+    def refine_fn(self, crop_hw: tuple[int, int], K):
+        key = crop_hw
+        if key not in self._refine_cache:
+            rcfg = refine_mod.RefineConfig(
+                iters=self.cfg.iters,
+                weight_2d=self.cfg.weight_2d,
+                weight_3d=self.cfg.weight_3d,
+                surface_capacity=self.surface_capacity,
+            )
+
+            def fn(params0, K_arr, nocs, fr, fm):
+                return refine_mod.make_refine_fn(
+                    self.decoder, rcfg, self.grid_points, K_arr, crop_hw
+                )(params0, nocs, fr, fm)
+
+            self._refine_cache[key] = jax.jit(fn)
+        return self._refine_cache[key]
+
+    def next_key(self):
+        self.key, sub = jax.random.split(self.key)
+        return sub
+
+    def estimate_pose(self, pcd_dsdf, nocs_dsdf, model_mask, scene_pts,
+                      scene_cls):
+        """RANSAC init with fixed-capacity padding (pose.py:8-38)."""
+        method = self._ransac_method
+        if method == "pnp":
+            raise NotImplementedError(
+                "pnp init is host-side (utils/pose.py:40-81); use kabsch"
+            )
+        if scene_pts.shape[0] < 5:
+            return None
+        cap = self.ransac_scene_capacity
+        n = min(scene_pts.shape[0], cap)
+        sel = np.random.choice(scene_pts.shape[0], n, replace=False) \
+            if scene_pts.shape[0] > cap else np.arange(scene_pts.shape[0])
+        sp = np.zeros((cap, 3), np.float32)
+        sc = np.zeros((cap, 3), np.float32)
+        sm = np.zeros(cap, bool)
+        sp[:n] = scene_pts[sel[:n]]
+        sc[:n] = scene_cls[sel[:n]]
+        sm[:n] = True
+        # subsample model points to the ransac capacity
+        mcap = self.ransac_model_capacity
+        pcd_dsdf = jnp.asarray(pcd_dsdf)[:mcap]
+        nocs_dsdf = jnp.asarray(nocs_dsdf)[:mcap]
+        model_mask = jnp.asarray(model_mask)[:mcap]
+        if method == "kabsch":
+            pose = self._ransac(
+                pcd_dsdf, nocs_dsdf, model_mask, jnp.asarray(sp),
+                jnp.asarray(sc), jnp.asarray(sm), self.next_key(),
+            )
+        else:
+            pose = ransac.ransac_pose(
+                pcd_dsdf, nocs_dsdf, model_mask, jnp.asarray(sp),
+                jnp.asarray(sc), jnp.asarray(sm), self.next_key(),
+                method="procrustes", cfg=self.ransac_cfg,
+            )
+        if int(pose.num_inliers) < 5:
+            return None
+        return {
+            "scale": float(pose.scale),
+            "rot": np.asarray(pose.rot, np.float64),
+            "tra": np.asarray(pose.tra, np.float64),
+        }
+
+
+def setup_runtime(cfgp_or_cfg, rng_seed: int = 1) -> RefineRuntime:
+    cfg = (cfgp_or_cfg if isinstance(cfgp_or_cfg, cfg_mod.RefineCfg)
+           else cfg_mod.RefineCfg.from_ini(cfgp_or_cfg))
+    css_variables = setup_css(cfg.css_path)
+    dsdf_cfg, dsdf_params = deepsdf.load_torch_checkpoint(cfg.deepsdf_path)
+    return RefineRuntime(cfg, css_variables, dsdf_cfg, dsdf_params, rng_seed)
+
+
+def refine_annotation(rt: RefineRuntime, sample: dict, anno: dict,
+                      maskrcnn=None, bbox_max_id=None):
+    """Process one annotation; returns label dict or None (skip).
+
+    Mirrors refine_css.py:94-250 step by step.
+    """
+    cfg = rt.cfg
+    label_type = cfg.label_type
+
+    max_crop_area = cfg.rendering_area ** 2
+    l, t, r, b = [int(v) for v in anno["bbox"]]
+    if r <= l + 2 or b <= t + 2:
+        return None
+    crop_bgr = sample["image"][t:b, l:r].copy()
+    crop_dep = sample["depth"][t:b, l:r].copy()
+
+    K = sample["orig_cam"]
+    crop_size, intrinsics, off_intrinsics = geometry.adjust_intrinsics_crop(
+        K, crop_bgr.shape[:2], anno["bbox"], max_crop_area
+    )
+    pcd_crop, _ = geometry.reproject_np(crop_bgr, crop_dep, off_intrinsics)
+
+    if label_type == "maskrcnn" and maskrcnn is not None:
+        mask = np.asarray(maskrcnn["masks"][bbox_max_id], np.float32)
+        crop_bgr = crop_bgr * mask[..., None]
+
+    crop_rgb, _ = transform_bgr_crop(crop_bgr)
+    pred_css = rt.css_forward(crop_rgb)
+    nocs_pred = np.asarray(pred_css["uvw_sm_masked"])[0] / 255.0
+    latent_pred = np.asarray(pred_css["latent"])[0]
+
+    surf, _sdf = rt.surface(latent_pred)
+    pcd_dsdf, nocs_dsdf = surf.points, surf.nocs
+
+    nocs_pred_resized = nearest_resize_chw(nocs_pred, crop_dep.shape[:2])
+    nocs_3d_pts, nocs_3d_cls = geometry.reproject_np(
+        nocs_pred_resized, crop_dep[None], off_intrinsics, filter_nocs=True
+    )
+
+    init_pose = rt.estimate_pose(pcd_dsdf, nocs_dsdf, surf.mask,
+                                 nocs_3d_pts, nocs_3d_cls)
+    if init_pose is None:
+        print("NO RANSAC POSE FOUND!!!")
+        return None
+    scale, rot, tra = init_pose["scale"], init_pose["rot"], init_pose["tra"]
+
+    # Azimuth-only constraint + yaw extraction (refine_css.py:176-178)
+    rot[:, 1] = [0, 1, 0]
+    rot[1, :] = [0, 1, 0]
+    yaw = geometry.roty_in_bev(
+        np.pad(rot @ np.diag([-1.0, 1.0, 1.0]), ((0, 1), (0, 1)))
+    ) + math.pi / 2
+
+    # Height re-estimation (refine_css.py:180-189)
+    pcd_np = np.asarray(pcd_dsdf)[np.asarray(surf.mask)]
+    world_points = (rot @ (pcd_np * scale).T).T + tra
+    proj_world = geometry.project_np(sample["orig_cam"], world_points)
+    L, T = proj_world[:, 0].min(), proj_world[:, 1].min()
+    R, B = proj_world[:, 0].max(), proj_world[:, 1].max()
+    iou = geometry.compute_iou([l, t, r, b], [L, T, R, B])
+    if iou < 0.7 and len(nocs_3d_pts):
+        print("Restimating height")
+        ymin, ymax = world_points[:, 1].min(), world_points[:, 1].max()
+        tra[1] = nocs_3d_pts[:, 1].min() + (ymax - ymin) / 2
+
+    # Refinement (refine_css.py:192-226)
+    params0 = refine_mod.init_refine_params(
+        yaw, tra / scale, scale, latent_pred
+    )
+    h, w = int(crop_size[0]), int(crop_size[1])
+    cap = rt.frustum_capacity
+    frustum = np.zeros((cap, 3), np.float32)
+    fmask = np.zeros(cap, bool)
+    n = min(len(pcd_crop), cap)
+    if n > 0:
+        sel = (np.random.choice(len(pcd_crop), n, replace=False)
+               if len(pcd_crop) > cap else np.arange(len(pcd_crop)))
+        frustum[:n] = pcd_crop[sel[:n]]
+        fmask[:n] = True
+
+    nocs_target = jnp.asarray(
+        nearest_resize_chw(nocs_pred, (h, w)), jnp.float32
+    )
+    refine_fn = rt.refine_fn((h, w), intrinsics)
+    final, hist = refine_fn(
+        params0, jnp.asarray(intrinsics, jnp.float32), nocs_target,
+        jnp.asarray(frustum), jnp.asarray(fmask),
+    )
+
+    label, scaled_points, cam_t = labels_mod.get_kitti_label(
+        rt.decoder, rt.grid_points, np.asarray(final.latent),
+        np.asarray(final.scale), np.asarray(final.trans),
+        np.asarray(final.yaw), sample["world_to_cam"], anno["bbox"],
+        capacity=rt.surface_capacity,
+    )
+    return label
+
+
+def _fuse_maskrcnn(anno, maskrcnn_labels):
+    """IoU-max MaskRCNN bbox fusion (refine_css.py:100-114)."""
+    ious = [geometry.get_iou(np.asarray(bbox, np.float64), anno["bbox"])
+            for bbox in np.asarray(maskrcnn_labels["bboxes"])]
+    bbox_max_id = int(np.argmax(ious))
+    if ious[bbox_max_id] < 0.5:
+        return None, None
+    bbox = np.asarray(maskrcnn_labels["bboxes"][bbox_max_id]).astype(int)
+    return bbox, bbox_max_id
+
+
+def refine_css(cfgp, subset_frames=None):
+    """Full KITTI autolabeling driver (refine_css.py:26)."""
+    np.random.seed(1)
+    cfg = cfg_mod.RefineCfg.from_ini(cfgp)
+    rt = setup_runtime(cfg)
+
+    kitti = kitti_mod.KITTI3D(path=cfg.kitti_path)
+    total_annotations, total_estimations = OrderedDict(), OrderedDict()
+    os.makedirs(cfg.labels_out, exist_ok=True)
+
+    if subset_frames is None:
+        subset_frames = range(len(kitti))
+
+    for frame_idx in subset_frames:
+        print("Frame", frame_idx)
+        out_path = os.path.join(cfg.labels_out, f"{frame_idx}.pkl")
+        if os.path.exists(out_path):
+            print("file exists already!")
+            continue
+
+        sample = kitti[frame_idx]
+        if not [a for a in sample.get("gt", []) if a["name"] == "Car"]:
+            continue
+
+        frame_annos, frame_estimations = defaultdict(list), defaultdict(list)
+        annos = kitti_mod.get_annos(cfg.diff_annos, sample)
+
+        maskrcnn_labels = None
+        if cfg.label_type != "gt":
+            mpath = os.path.join(cfg.maskrcnn_labels_path,
+                                 f"{frame_idx}.lbl")
+            if not os.path.exists(mpath):
+                print("Skip frame")
+                continue
+            import torch
+
+            maskrcnn_labels = torch.load(mpath, map_location="cpu",
+                                         weights_only=False)
+
+        for anno in annos:
+            for key, value in anno.items():
+                frame_annos[key].append(value)
+
+            bbox_max_id = None
+            if cfg.label_type != "gt":
+                bbox, bbox_max_id = _fuse_maskrcnn(anno, maskrcnn_labels)
+                if bbox is None:
+                    print("Skip frame!")
+                    continue
+                anno = dict(anno, bbox=bbox)
+
+            label = refine_annotation(rt, sample, anno, maskrcnn_labels,
+                                      bbox_max_id)
+            if label is None:
+                continue
+            for key, value in label.items():
+                frame_estimations[key].append(value)
+
+        if not frame_annos:
+            continue
+
+        necessary = ["alpha", "bbox", "dimensions", "location",
+                     "rotation_y", "score"]
+        for key in necessary:
+            frame_annos[key] = np.asarray(frame_annos[key])
+            frame_estimations[key] = np.asarray(frame_estimations[key])
+
+        pickle.dump([frame_annos, frame_estimations], open(out_path, "wb"))
+        total_annotations[frame_idx] = frame_annos
+        total_estimations[frame_idx] = frame_estimations
+
+    for compute_nuscenes in (False, True):
+        evaluator = Detection3DEvaluator(
+            clean_kitti_data, compute_nuscenes=compute_nuscenes,
+            coordinate_frame=CoordinateFrame.CAMERA,
+        )
+        formatted, _ = evaluator.evaluate_detection_3d(
+            list(total_annotations.values()),
+            list(total_estimations.values()), ["Car"], difficulties=[0],
+        )
+        print(formatted)
+    return total_annotations, total_estimations
+
+
+def refine_css_demo(cfgp, sample=None):
+    """Demo refinement on one pre-stored frame (refine_css_demo.py:23).
+
+    `sample` may be passed directly (tests); otherwise loads
+    data/optimization/kitti_sample.pt (torch) or .npz (ours).
+    """
+    np.random.seed(1)
+    cfg = cfg_mod.RefineCfg.from_ini(cfgp)
+    rt = setup_runtime(cfg)
+
+    if sample is None:
+        pt_path = "data/optimization/kitti_sample.pt"
+        pkl_path = "data/optimization/kitti_sample.pkl"
+        if os.path.exists(pt_path):
+            import torch
+
+            sample = torch.load(pt_path, map_location="cpu",
+                                weights_only=False)
+        elif os.path.exists(pkl_path):
+            sample = pickle.load(open(pkl_path, "rb"))
+        else:
+            raise FileNotFoundError("no demo sample found")
+
+    frame_annos, frame_estimations = defaultdict(list), defaultdict(list)
+    annos = kitti_mod.get_annos(cfg.diff_annos, sample)
+    for anno in annos:
+        for key, value in anno.items():
+            frame_annos[key].append(value)
+        label = refine_annotation(rt, sample, anno)
+        if label is None:
+            continue
+        for key, value in label.items():
+            frame_estimations[key].append(value)
+
+    necessary = ["alpha", "bbox", "dimensions", "location", "rotation_y",
+                 "score"]
+    for key in necessary:
+        frame_annos[key] = np.asarray(frame_annos[key])
+        frame_estimations[key] = np.asarray(frame_estimations[key])
+    return frame_annos, frame_estimations

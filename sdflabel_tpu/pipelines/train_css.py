@@ -1,0 +1,128 @@
+"""CSS network training pipeline.
+
+Behavioral parity target: pipelines/train_css.py:12-116 — Adam over the
+Crops dataloader, CE/MSE losses, per-epoch checkpoint + PNG dumps.
+
+TPU design: the train step is jit-compiled once (engine.css_train) and
+optionally data-parallel over the mesh; checkpoints are flax msgpack
+(orbax-compatible params pytree) plus optional torch-format import.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sdflabel_tpu import config as cfg_mod
+from sdflabel_tpu.data.crops import Crops, batch_iterator
+from sdflabel_tpu.engine import css_train
+from sdflabel_tpu.models import css as css_mod
+
+
+def save_checkpoint(path: str, variables) -> None:
+    from flax import serialization
+
+    with open(path, "wb") as f:
+        f.write(serialization.to_bytes(jax.device_get(variables)))
+
+
+def load_checkpoint(path: str, template) -> dict:
+    from flax import serialization
+
+    with open(path, "rb") as f:
+        return serialization.from_bytes(template, f.read())
+
+
+def setup_css(model_path: str | None = None, rng_seed: int = 0):
+    """Initialize (or load) CSS variables (resnet_css.py:265-296 analogue).
+
+    model_path: .pt (torch state dict, imported) or .msgpack (ours).
+    """
+    model = css_mod.CSSNet(use_running_average=True)
+    variables = model.init(
+        jax.random.PRNGKey(rng_seed), jnp.zeros((1, 3, 128, 128))
+    )
+    variables = {"params": variables["params"],
+                 "batch_stats": variables["batch_stats"]}
+    if model_path and os.path.exists(model_path):
+        if model_path.endswith(".pt"):
+            variables = css_mod.load_torch_checkpoint(model_path)
+            print("CSS net restored (torch checkpoint).")
+        else:
+            variables = load_checkpoint(model_path, variables)
+            print("CSS net restored.")
+    return variables
+
+
+def _save_png(path, chw_array, normalize=True):
+    from PIL import Image
+
+    arr = np.asarray(chw_array)
+    if arr.ndim == 4:  # grid of batch images side by side
+        arr = np.concatenate(list(arr), axis=-1)
+    img = np.transpose(arr, (1, 2, 0))
+    if normalize:
+        lo, hi = img.min(), img.max()
+        img = (img - lo) / max(hi - lo, 1e-8)
+    Image.fromarray((np.clip(img, 0, 1) * 255).astype(np.uint8)).save(path)
+
+
+def train_css(cfgp, max_epochs: int | None = None, mesh=None):
+    """Train the CSS network (train_css.py:12 entry point)."""
+    cfg = cfg_mod.TrainCfg.from_ini(cfgp)
+    variables = setup_css(cfg.css_path)
+
+    os.makedirs(cfg.log_dir, exist_ok=True)
+    trainset = Crops(cfg.data_path)
+
+    state = css_train.init_train_state(variables, cfg.lr)
+    step_fn = css_train.make_train_step(cfg.lr)
+    if mesh is not None:
+        step_fn = css_train.shard_train_step(step_fn, mesh)
+    else:
+        step_fn = jax.jit(step_fn, donate_argnums=(0,))
+
+    epochs = max_epochs if max_epochs is not None else cfg.epochs
+    last_batch, last_pred_vis = None, None
+    for epoch in range(epochs):
+        for batch_idx, batch_np in enumerate(
+            batch_iterator(trainset, cfg.batch_size, shuffle=True, seed=epoch)
+        ):
+            batch = {
+                k: jnp.asarray(v)
+                for k, v in batch_np.items()
+                if k in ("rgb", "uvw", "mask", "latent")
+            }
+            state, metrics = step_fn(state, batch)
+            print(
+                "Train Epoch: {} [{}/{}]\tLosses: global - {:.6f}, "
+                "uvw - {:.6f}, mask - {:.6f}, latent - {:.6f}".format(
+                    epoch, batch_idx * len(batch_np["rgb"]), len(trainset),
+                    float(metrics["loss"]), float(metrics["loss_uvw"]),
+                    float(metrics["loss_mask"]), float(metrics["loss_latent"]),
+                )
+            )
+            last_batch = batch_np
+
+        if (epoch + 1) % cfg.analyse_epoch == 0:
+            net_dir = os.path.join(cfg.log_dir, "net")
+            os.makedirs(net_dir, exist_ok=True)
+            save_checkpoint(os.path.join(net_dir, "css.msgpack"),
+                            state.variables)
+            if cfg.plot and last_batch is not None:
+                vis_dir = os.path.join(cfg.log_dir, "vis")
+                os.makedirs(vis_dir, exist_ok=True)
+                model = css_mod.CSSNet(use_running_average=True)
+                pred = model.apply(state.variables,
+                                   jnp.asarray(last_batch["rgb"]))
+                masked = np.asarray(pred["uvw_sm_masked"])
+                _save_png(os.path.join(vis_dir, f"uvw_predsm_{epoch}.png"),
+                          masked)
+                _save_png(os.path.join(vis_dir, f"uvw_gt{epoch}.png"),
+                          last_batch["uvw"].astype(np.float32) / 255.0)
+                _save_png(os.path.join(vis_dir, f"uvw_gt_rgb{epoch}.png"),
+                          last_batch["rgb"])
+    return state
