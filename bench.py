@@ -20,8 +20,11 @@ Prints ONE JSON line.
 import json
 import sys
 import time
+import warnings
 
 import numpy as np
+
+warnings.filterwarnings("ignore")
 
 REPO = "/root/repo"
 if REPO not in sys.path:

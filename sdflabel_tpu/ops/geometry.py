@@ -152,6 +152,49 @@ def compute_depth_map(lidar: np.ndarray, cam: np.ndarray, w: int, h: int) -> np.
 
 
 # ---------------------------------------------------------------------------
+# Hidden point removal (HPR)
+# ---------------------------------------------------------------------------
+
+def spherical_flip(points: np.ndarray, center: np.ndarray,
+                   param: float) -> np.ndarray:
+    """Spherical flip for the HPR operator (utils_rasterer.py:27-45).
+
+    NOTE: the reference mutates its input (negating y,z in place) — we
+    operate on a copy with identical math.
+    """
+    pts = np.array(points, dtype=np.float64, copy=True)
+    pts[:, 1] *= -1
+    pts[:, 2] *= -1
+    pts = pts - np.asarray(center).reshape(1, 3)
+    norms = np.linalg.norm(pts, axis=1)
+    radius = norms.max() * (30.0 ** param)
+    flipped = 2.0 * ((radius - norms)[:, None] * pts) / np.maximum(
+        norms[:, None], 1e-12
+    )
+    return flipped + pts
+
+
+def hpr_mask(points_cam: np.ndarray, param: float = math.pi) -> np.ndarray:
+    """Hidden-point-removal visibility mask (projection.py:72-85 semantics).
+
+    Host-side numpy utility (scipy qhull), matching the reference's
+    filter_hpr path: spherical flip about the camera origin + convex hull;
+    hull vertices (minus the appended origin) are the visible points.
+    """
+    from scipy.spatial import ConvexHull
+
+    pts = np.asarray(points_cam, np.float64)
+    pts = pts / max(pts.max(), 1e-12)
+    flipped = spherical_flip(pts, np.zeros((1, 3)), param)
+    with_origin = np.append(flipped, [[0.0, 0.0, 0.0]], axis=0)
+    hull = ConvexHull(with_origin)
+    mask = np.zeros(len(pts), dtype=bool)
+    visible = hull.vertices[hull.vertices < len(pts)]
+    mask[visible] = True
+    return mask
+
+
+# ---------------------------------------------------------------------------
 # KITTI label <-> cuboid
 # ---------------------------------------------------------------------------
 

@@ -13,10 +13,17 @@ import jax.numpy as jnp
 
 
 def pairwise_sq_dists(a: jax.Array, b: jax.Array) -> jax.Array:
-    """(N, M) squared euclidean distances via one matmul (MXU-friendly)."""
+    """(N, M) squared euclidean distances via one matmul (MXU-friendly).
+
+    precision=HIGHEST: TPU's default bf16 matmul passes produce ~1e-2
+    absolute distance error at scene scales, enough to flip NN choices and
+    inlier thresholds — geometry matmuls must run full fp32.
+    """
     aa = jnp.sum(a * a, axis=-1)[:, None]
     bb = jnp.sum(b * b, axis=-1)[None, :]
-    ab = a @ b.T
+    ab = jax.lax.dot_general(
+        a, b, (((1,), (1,)), ((), ())), precision=jax.lax.Precision.HIGHEST
+    )
     return jnp.maximum(aa - 2.0 * ab + bb, 0.0)
 
 

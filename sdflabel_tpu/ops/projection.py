@@ -18,6 +18,15 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+# All projection matmuls are tiny (N,3)x(3,3) — run them at HIGHEST
+# precision: TPU's default bf16 passes perturb camera-frame coordinates
+# by ~1e-2, which flips splat footprint bits downstream.
+_PREC = jax.lax.Precision.HIGHEST
+
+
+def _mm(a, b):
+    return jnp.matmul(a, b, precision=_PREC)
+
 
 def qrot(q: jax.Array, v: jax.Array) -> jax.Array:
     """Rotate vectors v (..., 3) by quaternions q (..., 4), w-first.
@@ -51,7 +60,7 @@ class ProjectedPoints(NamedTuple):
 def _project_pixels(K: jax.Array, points_cam: jax.Array, resolution_px) -> jax.Array:
     res_x, res_y = resolution_px
     eps = jnp.finfo(K.dtype).eps
-    p2h = points_cam @ K.T
+    p2h = _mm(points_cam, K.T)
     p2 = p2h[:, :2] / (p2h[:, 2:3] + eps)
     x = jnp.clip(p2[:, 0:1], -1.0, float(res_x))
     y = jnp.clip(p2[:, 1:2], -1.0, float(res_y))
@@ -75,8 +84,8 @@ def project_dcm(
     """
     RT = camera_pose[:3, :]
     rot = RT[:, :3]
-    points_cam = points @ rot.T + RT[:, 3]
-    normals_cam = normals @ rot.T
+    points_cam = _mm(points, rot.T) + RT[:, 3]
+    normals_cam = _mm(normals, rot.T)
     if output_nocs:
         colors = points * jnp.asarray([-1.0, 1.0, 1.0], dtype=points.dtype)
     dot = jnp.sum(normals_cam * points_cam, axis=-1)

@@ -104,10 +104,17 @@ def splat_surfel(
 
     ones = jnp.ones((grid_2d.shape[0], 1), dtype)
     Kinv = jnp.linalg.inv(K.astype(jnp.float32)).astype(dtype)
-    kinv_grid = jnp.concatenate([grid_2d.astype(dtype), ones], axis=-1) @ Kinv.T  # (P,3)
+    kinv_grid = jnp.matmul(
+        jnp.concatenate([grid_2d.astype(dtype), ones], axis=-1), Kinv.T,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (P,3)
 
     n_v3d = jnp.sum(normals * vertex_3d, axis=-1)  # (N,)
-    n_kinv = normals @ kinv_grid.T  # (N, P) — MXU matmul
+    # precision=HIGHEST: bf16 matmul error flips footprint bits on TPU
+    n_kinv = jax.lax.dot_general(
+        normals, kinv_grid, (((1,), (1,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (N, P)
     n_kinv = jnp.where(jnp.abs(n_kinv) < 0.01, eps, n_kinv)
     z = n_v3d[:, None] / n_kinv  # (N, P) ray depth of the tangent plane
 

@@ -29,6 +29,19 @@ import numpy as np
 from sdflabel_tpu.ops import splat as splat_ops
 from sdflabel_tpu.ops.projection import project_dcm, project_quat
 
+# Fused-splat policy for the 'disc' primitive: None = auto (fused on TPU,
+# dense oracle elsewhere), True/False = force. The fused Pallas kernel
+# (ops.splat_pallas) never materializes the (N, P) splat matrices.
+USE_FUSED_SPLAT: bool | None = None
+
+
+def _want_fused(use_bg: bool) -> bool:
+    if use_bg:  # kernel does not model the background row (pipelines use none)
+        return False
+    if USE_FUSED_SPLAT is not None:
+        return USE_FUSED_SPLAT
+    return jax.default_backend() == "tpu"
+
 
 def calibration_matrix(resolution_px, diagonal_mm=20.0, focal_len_mm=70.0, skew=0.0):
     """Default intrinsics from sensor geometry (utils_rasterer.py:59-83)."""
@@ -105,15 +118,11 @@ def render(
             add_bg=use_bg,
         )
     elif primitives == "disc":
-        prob = splat_ops.splat_surfel(
-            K, grid, v3d, nrm, point_mask, diam=0.04, softclamp=False,
-            add_bg=use_bg,
-        )
+        prob = None  # computed below (fused kernel or dense oracle)
     else:
         raise ValueError(f"unknown primitives {primitives!r}")
 
     n = v3d.shape[0]
-    prob_pts = prob[:n]  # exclude bg row (if any) from feature composition
 
     if output_nocs:
         colors_ext = (clr + 1.0) / 2.0  # rasterer.py:116
@@ -121,11 +130,31 @@ def render(
         colors_ext = clr
     normals_ext = (nrm + 1.0) / 2.0
 
-    # One fused composite matmul: features = [color(3) | ones(1) | z(1) | normal(3)]
+    # features = [color(3) | ones(1) | z(1) | normal(3)]
     feats = jnp.concatenate(
         [colors_ext, jnp.ones((n, 1), dtype), v3d[:, 2:3], normals_ext], axis=-1
     )  # (N, 8)
-    img = prob_pts.T @ feats  # (P, 8) — MXU
+
+    if primitives == "disc" and _want_fused(use_bg):
+        from sdflabel_tpu.ops import splat_pallas
+
+        ones = jnp.ones((grid.shape[0], 1), dtype)
+        Kinv = jnp.linalg.inv(K.astype(jnp.float32)).astype(dtype)
+        kinv_grid = jnp.matmul(
+            jnp.concatenate([grid, ones], axis=-1), Kinv.T,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        img = splat_pallas.surfel_composite(
+            v3d, nrm, feats, kinv_grid, point_mask=point_mask, diam=0.04,
+        )  # (P, 8)
+    else:
+        if primitives == "disc":
+            prob = splat_ops.splat_surfel(
+                K, grid, v3d, nrm, point_mask, diam=0.04, softclamp=False,
+                add_bg=use_bg,
+            )
+        prob_pts = prob[:n]  # exclude bg row (if any)
+        img = prob_pts.T @ feats  # (P, 8) — MXU
     img = img.T.reshape(8, res_y, res_x)
 
     rendering = Rendering(
