@@ -72,7 +72,9 @@ def build_ours():
 
     def run():
         final, hist = refine_fn(params0, nocs, frustum, fmask)
-        jax.block_until_ready(final.yaw)
+        # NOTE: on the axon-tunneled TPU, block_until_ready returns at
+        # enqueue — force a host transfer to measure true device time.
+        return float(final.yaw[0])
 
     return run
 

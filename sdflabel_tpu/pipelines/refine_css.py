@@ -143,13 +143,18 @@ class RefineRuntime:
         return sub
 
     def estimate_pose(self, pcd_dsdf, nocs_dsdf, model_mask, scene_pts,
-                      scene_cls):
-        """RANSAC init with fixed-capacity padding (pose.py:8-38)."""
+                      scene_cls, off_intrinsics=None, nocs_pred_resized=None):
+        """Pose init dispatch (pose.py:8-38): kabsch/procrustes on-device
+        RANSAC, or host-side PnP."""
         method = self._ransac_method
         if method == "pnp":
-            raise NotImplementedError(
-                "pnp init is host-side (utils/pose.py:40-81); use kabsch"
-            )
+            from sdflabel_tpu.ops import pnp
+
+            pose = pnp.init_pose_2d(off_intrinsics, nocs_pred_resized,
+                                    scale_model=2.0)
+            return {"scale": float(pose["scale"]),
+                    "rot": np.asarray(pose["rot"], np.float64),
+                    "tra": np.asarray(pose["tra"], np.float64)}
         if scene_pts.shape[0] < 5:
             return None
         cap = self.ransac_scene_capacity
@@ -235,7 +240,9 @@ def refine_annotation(rt: RefineRuntime, sample: dict, anno: dict,
     )
 
     init_pose = rt.estimate_pose(pcd_dsdf, nocs_dsdf, surf.mask,
-                                 nocs_3d_pts, nocs_3d_cls)
+                                 nocs_3d_pts, nocs_3d_cls,
+                                 off_intrinsics=off_intrinsics,
+                                 nocs_pred_resized=nocs_pred_resized)
     if init_pose is None:
         print("NO RANSAC POSE FOUND!!!")
         return None
