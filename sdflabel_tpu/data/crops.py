@@ -142,3 +142,58 @@ def batch_iterator(dataset, batch_size: int, shuffle: bool = True,
             continue
         samples = [dataset[int(i)] for i in sel]
         yield {k: np.stack([s[k] for s in samples]) for k in samples[0]}
+
+
+def prefetch_iterator(dataset, batch_size: int, num_threads: int = 2,
+                      queue_size: int = 10, shuffle: bool = True,
+                      seed: int = 0, drop_last: bool = False):
+    """Threaded prefetching batch iterator.
+
+    Host-side input parallelism replacing the reference's DataLoader
+    workers (train_css.py:42-45, num_workers=cpu_threads, queue_size
+    config key): decode+augment runs in a thread pool while the previous
+    batch trains on device. num_threads<=0 falls back to the sync path.
+    """
+    if num_threads <= 0:
+        yield from batch_iterator(dataset, batch_size, shuffle, seed,
+                                  drop_last)
+        return
+
+    import queue
+    import threading
+    from concurrent.futures import ThreadPoolExecutor
+
+    order = np.arange(len(dataset))
+    rng = np.random.RandomState(seed)
+    if shuffle:
+        rng.shuffle(order)
+    batches = [
+        order[s : s + batch_size]
+        for s in range(0, len(order), batch_size)
+        if not (drop_last and s + batch_size > len(order))
+    ]
+
+    q: "queue.Queue" = queue.Queue(maxsize=queue_size)
+    stop = threading.Event()
+
+    def produce():
+        with ThreadPoolExecutor(max_workers=num_threads) as pool:
+            for sel in batches:
+                if stop.is_set():
+                    break
+                samples = list(pool.map(dataset.__getitem__,
+                                        [int(i) for i in sel]))
+                q.put({k: np.stack([s[k] for s in samples])
+                       for k in samples[0]})
+        q.put(None)
+
+    t = threading.Thread(target=produce, daemon=True)
+    t.start()
+    try:
+        while True:
+            batch = q.get()
+            if batch is None:
+                break
+            yield batch
+    finally:
+        stop.set()

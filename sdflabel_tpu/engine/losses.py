@@ -66,6 +66,7 @@ def loss_2d(
     css_nocs: jax.Array,
     diam: float = 5.0,
     threshold_nocs: float = 1.0,
+    pixel_mask: jax.Array | None = None,
 ) -> jax.Array:
     """Projective NOCS loss (optimizer.py:200-237).
 
@@ -78,6 +79,12 @@ def loss_2d(
     reference returns NaN when no minimum clears the threshold (empty
     mean) — we return NaN as well so the caller's NaN guard semantics
     (optimizer.py:149-151) are preserved.
+
+    pixel_mask: optional (H, W) or (P,) validity — used by the batched
+    pipeline that letterboxes variable-size crops into one square render:
+    padded pixels are excluded both as rendered pixels (r axis) and as
+    CSS-disc candidates (p axis), making the masked square render exactly
+    equivalent to the per-crop-size render.
     """
     c, h, w = rendering_nocs.shape
     p = h * w
@@ -85,6 +92,9 @@ def loss_2d(
     css = css_nocs.reshape(c, p).T  # (P, 3)
 
     nonzero = jnp.sum(rend, axis=-1) != 0  # (P,) rendered nonzero pixels
+    if pixel_mask is not None:
+        pm = pixel_mask.reshape(-1).astype(bool)
+        nonzero = nonzero & pm
 
     ii = jnp.arange(h, dtype=rendering_nocs.dtype)
     jj = jnp.arange(w, dtype=rendering_nocs.dtype)
@@ -108,6 +118,8 @@ def loss_2d(
     pos = diff_sq > 0
     diff = jnp.where(pos, jnp.sqrt(jnp.where(pos, diff_sq, 1.0)), 0.0)
 
+    if pixel_mask is not None:
+        diff = jnp.where(pm[None, :], diff, jnp.inf)  # exclude padded p's
     diff_min = jnp.min(diff, axis=-1)  # (P_r,)
     sel = nonzero & (diff_min < threshold_nocs)
     cnt = jnp.sum(sel)

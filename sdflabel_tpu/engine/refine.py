@@ -114,7 +114,8 @@ def make_refine_fn(
     h, w = crop_hw
     opt = make_optimizer(cfg)
 
-    def iteration(params: RefineParams, nocs_target, frustum_pts, frustum_mask):
+    def iteration(params: RefineParams, nocs_target, frustum_pts,
+                  frustum_mask, pixel_mask):
         # Scene / scale — scale gradient flows via the scene (optimizer.py:84)
         scene = frustum_pts / params.scale.reshape(())
 
@@ -144,13 +145,15 @@ def make_refine_fn(
         l2d = losses.loss_2d(
             rendering.color, nocs_target,
             diam=cfg.loss2d_diam, threshold_nocs=cfg.loss2d_threshold,
+            pixel_mask=pixel_mask,
         )
         return cfg.weight_3d * l3d + cfg.weight_2d * l2d, (l2d, l3d)
 
     def step(carry, _):
-        params, opt_state, nocs_target, frustum_pts, frustum_mask = carry
+        (params, opt_state, nocs_target, frustum_pts, frustum_mask,
+         pixel_mask) = carry
         (loss, (l2d, l3d)), grads = jax.value_and_grad(iteration, has_aux=True)(
-            params, nocs_target, frustum_pts, frustum_mask
+            params, nocs_target, frustum_pts, frustum_mask, pixel_mask
         )
         # NaN / zero-loss guard (optimizer.py:149-151): skip the update.
         ok = jnp.isfinite(loss) & (loss != 0.0)
@@ -167,11 +170,15 @@ def make_refine_fn(
         )
         out = RefineStepOut(loss=loss, loss_2d=l2d, loss_3d=l3d, applied=ok)
         return (new_params, new_opt_state, nocs_target, frustum_pts,
-                frustum_mask), out
+                frustum_mask, pixel_mask), out
 
-    def refine(params0: RefineParams, nocs_target, frustum_pts, frustum_mask):
+    def refine(params0: RefineParams, nocs_target, frustum_pts, frustum_mask,
+               pixel_mask=None):
+        if pixel_mask is None:
+            pixel_mask = jnp.ones((h, w), bool)
         opt_state = opt.init(params0)
-        carry = (params0, opt_state, nocs_target, frustum_pts, frustum_mask)
+        carry = (params0, opt_state, nocs_target, frustum_pts, frustum_mask,
+                 pixel_mask)
         carry, hist = jax.lax.scan(step, carry, None, length=cfg.iters)
         return carry[0], hist
 

@@ -33,19 +33,26 @@ def make_batched_refine(
     the vmapped function rather than a closure constant.
     """
 
-    def one(params0, K, nocs, fr, fm):
+    def one(params0, K, nocs, fr, fm, pm):
         fn = refine_mod.make_refine_fn(sdf_decoder, cfg, grid_points, K, crop_hw)
-        return fn(params0, nocs, fr, fm)
+        return fn(params0, nocs, fr, fm, pm)
 
     batched = jax.vmap(one)
 
+    def call(params0, K, nocs, fr, fm, pixel_masks=None):
+        if pixel_masks is None:
+            import jax.numpy as jnp
+
+            b = nocs.shape[0]
+            pixel_masks = jnp.ones((b,) + crop_hw, bool)
+        return batched(params0, K, nocs, fr, fm, pixel_masks)
+
     if mesh is None:
-        return jax.jit(batched)
+        return jax.jit(call)
 
     shard = NamedSharding(mesh, P("data"))
-    repl = NamedSharding(mesh, P())
     return jax.jit(
-        batched,
-        in_shardings=(shard, shard, shard, shard, shard),
+        call,
+        in_shardings=(shard, shard, shard, shard, shard, shard),
         out_shardings=(shard, shard),
     )

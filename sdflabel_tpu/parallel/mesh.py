@@ -43,6 +43,30 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def initialize_distributed(coordinator_address: str | None = None,
+                           num_processes: int | None = None,
+                           process_id: int | None = None) -> None:
+    """Multi-host bring-up (SURVEY.md §2.D collective-backend row).
+
+    Replaces the reference's mpirun + rank->GPU pinning
+    (rotate_iou.py:10-14): jax.distributed wires every host into one
+    global mesh; XLA collectives then ride ICI within a slice and DCN
+    across hosts. No-op when env-based auto-detection applies (GKE/Borg)
+    and no explicit coordinator is given.
+    """
+    import jax
+
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs = dict(coordinator_address=coordinator_address,
+                      num_processes=num_processes, process_id=process_id)
+    try:
+        jax.distributed.initialize(**kwargs)
+    except (RuntimeError, ValueError) as e:
+        # single-process runs (the common dev case) need no coordinator
+        print(f"jax.distributed not initialized ({e}); single-process mode")
+
+
 def process_frame_subset(num_frames: int) -> range:
     """Static frame partition for this host (replaces MPI rank partitioning)."""
     rank = jax.process_index()

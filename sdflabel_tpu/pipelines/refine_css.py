@@ -74,8 +74,33 @@ class RefineRuntime:
         self.cfg = cfg
         self.css_variables = css_variables
         self.dsdf_cfg = dsdf_cfg
+        # Precision (config_refine.ini [optimization] precision): the
+        # reference runs the decoder in fp16 (workspace.py:181); on TPU we
+        # map float16 -> bfloat16 (SURVEY.md §5 precision row). The MLP
+        # computes in the low dtype; SDF values are cast back to fp32 for
+        # isosurface/top-k and everything downstream.
+        self.compute_dtype = {
+            "float16": jnp.bfloat16,
+            "bfloat16": jnp.bfloat16,
+            "float32": jnp.float32,
+        }.get(cfg.precision, jnp.float32)
+        if self.compute_dtype != jnp.float32:
+            dsdf_params = jax.tree.map(
+                lambda x: x.astype(self.compute_dtype), dsdf_params
+            )
         self.dsdf_params = dsdf_params
-        self.decoder = deepsdf.sdf_fn(dsdf_cfg, dsdf_params)
+        base_decoder = deepsdf.sdf_fn(dsdf_cfg, dsdf_params)
+        if self.compute_dtype != jnp.float32:
+            cdt = self.compute_dtype
+
+            def decoder(latent, points):
+                return base_decoder(
+                    latent.astype(cdt), points.astype(cdt)
+                ).astype(jnp.float32)
+
+            self.decoder = decoder
+        else:
+            self.decoder = base_decoder
         self.grid_points = grid_ops.generate_point_grid(cfg.grid_density)
         self.surface_capacity = (
             surface_capacity if surface_capacity is not None
@@ -200,11 +225,13 @@ def setup_runtime(cfgp_or_cfg, rng_seed: int = 1) -> RefineRuntime:
     return RefineRuntime(cfg, css_variables, dsdf_cfg, dsdf_params, rng_seed)
 
 
-def refine_annotation(rt: RefineRuntime, sample: dict, anno: dict,
-                      maskrcnn=None, bbox_max_id=None):
-    """Process one annotation; returns label dict or None (skip).
+def prepare_crop(rt: RefineRuntime, sample: dict, anno: dict,
+                 maskrcnn=None, bbox_max_id=None):
+    """Per-annotation setup: crop, CSS, surface, reproject, pose init.
 
-    Mirrors refine_css.py:94-250 step by step.
+    Mirrors refine_css.py:94-196. Returns a dict with everything the
+    refinement loop needs (params0, intrinsics, crop size, NOCS target,
+    frustum cloud) or None on any of the reference's skip conditions.
     """
     cfg = rt.cfg
     label_type = cfg.label_type
@@ -267,7 +294,7 @@ def refine_annotation(rt: RefineRuntime, sample: dict, anno: dict,
         ymin, ymax = world_points[:, 1].min(), world_points[:, 1].max()
         tra[1] = nocs_3d_pts[:, 1].min() + (ymax - ymin) / 2
 
-    # Refinement (refine_css.py:192-226)
+    # Pack refinement inputs (refine_css.py:192-214)
     params0 = refine_mod.init_refine_params(
         yaw, tra / scale, scale, latent_pred
     )
@@ -282,15 +309,20 @@ def refine_annotation(rt: RefineRuntime, sample: dict, anno: dict,
         frustum[:n] = pcd_crop[sel[:n]]
         fmask[:n] = True
 
-    nocs_target = jnp.asarray(
-        nearest_resize_chw(nocs_pred, (h, w)), jnp.float32
-    )
-    refine_fn = rt.refine_fn((h, w), intrinsics)
-    final, hist = refine_fn(
-        params0, jnp.asarray(intrinsics, jnp.float32), nocs_target,
-        jnp.asarray(frustum), jnp.asarray(fmask),
-    )
+    nocs_target = nearest_resize_chw(nocs_pred, (h, w)).astype(np.float32)
+    return {
+        "params0": params0,
+        "intrinsics": np.asarray(intrinsics, np.float32),
+        "crop_hw": (h, w),
+        "nocs_target": nocs_target,
+        "frustum": frustum,
+        "fmask": fmask,
+        "anno": anno,
+    }
 
+
+def finish_label(rt: RefineRuntime, final, sample: dict, anno: dict):
+    """Label generation from final params (refine_css.py:228-236)."""
     label, scaled_points, cam_t = labels_mod.get_kitti_label(
         rt.decoder, rt.grid_points, np.asarray(final.latent),
         np.asarray(final.scale), np.asarray(final.trans),
@@ -298,6 +330,82 @@ def refine_annotation(rt: RefineRuntime, sample: dict, anno: dict,
         capacity=rt.surface_capacity,
     )
     return label
+
+
+def refine_annotation(rt: RefineRuntime, sample: dict, anno: dict,
+                      maskrcnn=None, bbox_max_id=None):
+    """Process one annotation; returns label dict or None (skip)."""
+    prep = prepare_crop(rt, sample, anno, maskrcnn, bbox_max_id)
+    if prep is None:
+        return None
+    refine_fn = rt.refine_fn(prep["crop_hw"], prep["intrinsics"])
+    final, hist = refine_fn(
+        prep["params0"], jnp.asarray(prep["intrinsics"]),
+        jnp.asarray(prep["nocs_target"]), jnp.asarray(prep["frustum"]),
+        jnp.asarray(prep["fmask"]),
+    )
+    return finish_label(rt, final, sample, prep["anno"])
+
+
+def refine_crops_batched(rt: RefineRuntime, sample: dict, preps: list):
+    """Refine a batch of prepared crops in ONE compiled program.
+
+    Variable crop sizes letterbox into an (A, A) square render
+    (A = rendering_area) with per-crop pixel validity masks — exactly
+    equivalent to the per-size renders (see engine.losses.loss_2d), but
+    every crop of the frame refines simultaneously (vmapped lax.scan;
+    SURVEY.md §7.6 "this is where crops/hour is won").
+    """
+    from sdflabel_tpu.parallel import batched_refine
+
+    if not preps:
+        return []
+    b = len(preps)
+    latent_dim = preps[0]["params0"].latent.shape[0]
+    # Bucket = max crop extent in the batch, rounded up to 8 — elongated
+    # boxes keep all their pixels (h or w can exceed rendering_area for
+    # extreme aspect ratios since only h*w <= area^2 is bounded).
+    bh = -(-max(p["crop_hw"][0] for p in preps) // 8) * 8
+    bw = -(-max(p["crop_hw"][1] for p in preps) // 8) * 8
+
+    params0 = refine_mod.RefineParams(
+        yaw=jnp.stack([p["params0"].yaw for p in preps]),
+        trans=jnp.stack([p["params0"].trans for p in preps]),
+        scale=jnp.stack([p["params0"].scale for p in preps]),
+        latent=jnp.stack([p["params0"].latent for p in preps]),
+    )
+    Kb = np.stack([p["intrinsics"] for p in preps])
+    nocs = np.zeros((b, 3, bh, bw), np.float32)
+    pmask = np.zeros((b, bh, bw), bool)
+    for i, p in enumerate(preps):
+        h, w = p["crop_hw"]
+        nocs[i, :, :h, :w] = p["nocs_target"]
+        pmask[i, :h, :w] = True
+    frustum = np.stack([p["frustum"] for p in preps])
+    fmask = np.stack([p["fmask"] for p in preps])
+
+    key = ("batched", bh, bw, b, latent_dim)
+    if key not in rt._refine_cache:
+        rcfg = refine_mod.RefineConfig(
+            iters=rt.cfg.iters, weight_2d=rt.cfg.weight_2d,
+            weight_3d=rt.cfg.weight_3d,
+            surface_capacity=rt.surface_capacity,
+        )
+        rt._refine_cache[key] = batched_refine.make_batched_refine(
+            rt.decoder, rcfg, rt.grid_points, (bh, bw), mesh=None
+        )
+    fn = rt._refine_cache[key]
+    final, hist = fn(params0, jnp.asarray(Kb), jnp.asarray(nocs),
+                     jnp.asarray(frustum), jnp.asarray(fmask),
+                     jnp.asarray(pmask))
+    labels = []
+    for i, p in enumerate(preps):
+        one = refine_mod.RefineParams(
+            yaw=final.yaw[i], trans=final.trans[i], scale=final.scale[i],
+            latent=final.latent[i],
+        )
+        labels.append(finish_label(rt, one, sample, p["anno"]))
+    return labels
 
 
 def _fuse_maskrcnn(anno, maskrcnn_labels):
@@ -311,8 +419,13 @@ def _fuse_maskrcnn(anno, maskrcnn_labels):
     return bbox, bbox_max_id
 
 
-def refine_css(cfgp, subset_frames=None):
-    """Full KITTI autolabeling driver (refine_css.py:26)."""
+def refine_css(cfgp, subset_frames=None, batched=True):
+    """Full KITTI autolabeling driver (refine_css.py:26).
+
+    batched=True refines all of a frame's crops in one compiled program
+    (refine_crops_batched); batched=False reproduces the reference's
+    sequential per-annotation loop.
+    """
     np.random.seed(1)
     cfg = cfg_mod.RefineCfg.from_ini(cfgp)
     rt = setup_runtime(cfg)
@@ -350,6 +463,7 @@ def refine_css(cfgp, subset_frames=None):
             maskrcnn_labels = torch.load(mpath, map_location="cpu",
                                          weights_only=False)
 
+        preps = []
         for anno in annos:
             for key, value in anno.items():
                 frame_annos[key].append(value)
@@ -362,12 +476,29 @@ def refine_css(cfgp, subset_frames=None):
                     continue
                 anno = dict(anno, bbox=bbox)
 
-            label = refine_annotation(rt, sample, anno, maskrcnn_labels,
-                                      bbox_max_id)
-            if label is None:
+            prep = prepare_crop(rt, sample, anno, maskrcnn_labels,
+                                bbox_max_id)
+            if prep is None:
                 continue
-            for key, value in label.items():
-                frame_estimations[key].append(value)
+            if batched:
+                preps.append(prep)
+            else:
+                refine_fn = rt.refine_fn(prep["crop_hw"],
+                                         prep["intrinsics"])
+                final, _hist = refine_fn(
+                    prep["params0"], jnp.asarray(prep["intrinsics"]),
+                    jnp.asarray(prep["nocs_target"]),
+                    jnp.asarray(prep["frustum"]),
+                    jnp.asarray(prep["fmask"]),
+                )
+                label = finish_label(rt, final, sample, prep["anno"])
+                for key, value in label.items():
+                    frame_estimations[key].append(value)
+
+        if batched and preps:
+            for label in refine_crops_batched(rt, sample, preps):
+                for key, value in label.items():
+                    frame_estimations[key].append(value)
 
         if not frame_annos:
             continue

@@ -17,7 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from sdflabel_tpu import config as cfg_mod
-from sdflabel_tpu.data.crops import Crops, batch_iterator
+from sdflabel_tpu.data.crops import Crops, batch_iterator, prefetch_iterator
 from sdflabel_tpu.engine import css_train
 from sdflabel_tpu.models import css as css_mod
 
@@ -89,7 +89,10 @@ def train_css(cfgp, max_epochs: int | None = None, mesh=None):
     last_batch, last_pred_vis = None, None
     for epoch in range(epochs):
         for batch_idx, batch_np in enumerate(
-            batch_iterator(trainset, cfg.batch_size, shuffle=True, seed=epoch)
+            prefetch_iterator(trainset, cfg.batch_size,
+                              num_threads=cfg.cpu_threads,
+                              queue_size=cfg.queue_size, shuffle=True,
+                              seed=epoch)
         ):
             batch = {
                 k: jnp.asarray(v)

@@ -1,0 +1,129 @@
+"""Standalone render demo app + data prefetching + precision plumbing."""
+
+import json
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from sdflabel_tpu.models import deepsdf
+
+
+@pytest.fixture(scope="module")
+def dsdf_ckpt(tmp_path_factory):
+    """Small reference-format deepsdf checkpoint on disk."""
+    torch = pytest.importorskip("torch")
+    d = tmp_path_factory.mktemp("ckpt")
+    cfg = deepsdf.DeepSDFConfig(latent_size=3, dims=(32,) * 3,
+                                norm_layers=(0, 1, 2), latent_in=(1,),
+                                weight_norm=True)
+    params = deepsdf.init_params(cfg, jax.random.PRNGKey(5))
+    state = {}
+    for ln in range(cfg.num_layers - 1):
+        lp = params[f"lin{ln}"]
+        if "v" in lp:
+            state[f"lin{ln}.weight_v"] = torch.from_numpy(
+                np.asarray(lp["v"]).T.copy())
+            state[f"lin{ln}.weight_g"] = torch.from_numpy(
+                np.asarray(lp["g"])[:, None].copy())
+        else:
+            state[f"lin{ln}.weight"] = torch.from_numpy(
+                np.asarray(lp["w"]).T.copy())
+        state[f"lin{ln}.bias"] = torch.from_numpy(np.asarray(lp["b"]).copy())
+    for i, li in enumerate((0, 2, 4)):
+        state[f"scale_net.{li}.weight"] = torch.from_numpy(
+            np.asarray(params["scale_net"][i]["w"]).T.copy())
+        state[f"scale_net.{li}.bias"] = torch.from_numpy(
+            np.asarray(params["scale_net"][i]["b"]).copy())
+    path = d / "deepsdf.pt"
+    torch.save({"epoch": 1, "model_state_dict": state}, path)
+    (d / "deepsdf.json").write_text(json.dumps({
+        "CodeLength": 3, "NetworkArch": "deep_sdf_decoder_scale",
+        "NetworkSpecs": {"dims": [32] * 3, "norm_layers": [0, 1, 2],
+                         "latent_in": [1], "weight_norm": True},
+    }))
+    return str(path)
+
+
+def test_render_sdf_demo(dsdf_ckpt, tmp_path):
+    from sdflabel_tpu.pipelines import render_demo
+
+    rendering, out = render_demo.render_sdf(
+        dsdf_ckpt, grid_density=20, crop_size=(64, 48),
+        output_dir=str(tmp_path),
+    )
+    assert rendering.color.shape == (3, 48, 64)
+    import os
+
+    assert os.path.exists(out)
+
+
+def test_render_model_npz(tmp_path):
+    from sdflabel_tpu.pipelines import render_demo
+
+    rng = np.random.RandomState(0)
+    n = 200
+    verts = rng.uniform(-1, 1, (n, 3)).astype(np.float32)
+    normals = rng.randn(n, 3).astype(np.float32)
+    normals /= np.linalg.norm(normals, axis=1, keepdims=True)
+    colors = rng.uniform(0, 1, (n, 3)).astype(np.float32)
+    npz = tmp_path / "model.npz"
+    np.savez(npz, vertices=verts, normals=normals, colors=colors)
+    rendering, out = render_demo.render_model(
+        str(npz), crop_size=(64, 48), output_dir=str(tmp_path)
+    )
+    assert np.asarray(rendering.color).max() > 0
+
+
+def test_prefetch_iterator_matches_sync(tmp_path):
+    from PIL import Image
+
+    from sdflabel_tpu.data.crops import (Crops, batch_iterator,
+                                         prefetch_iterator)
+
+    gt = {}
+    rng = np.random.RandomState(0)
+    for i in range(5):
+        rgb = (rng.rand(30, 30, 3) * 255).astype(np.uint8)
+        uvw = (rng.rand(30, 30, 3) * 255).astype(np.uint8)
+        Image.fromarray(rgb).save(tmp_path / f"{i:05d}_rgb.png")
+        Image.fromarray(uvw).save(tmp_path / f"{i:05d}_uvw.png")
+        gt[str(i)] = [{"latent": [0.0] * 3,
+                       "extrinsics": np.eye(4).reshape(-1).tolist(),
+                       "intrinsics": np.eye(3).reshape(-1).tolist()}]
+    (tmp_path / "crops.json").write_text(json.dumps(gt))
+
+    ds = Crops(str(tmp_path), augment=False)
+    sync = list(batch_iterator(ds, 2, shuffle=False))
+    pre = list(prefetch_iterator(ds, 2, num_threads=2, shuffle=False))
+    assert len(sync) == len(pre)
+    for a, b in zip(sync, pre):
+        np.testing.assert_array_equal(a["rgb"], b["rgb"])
+
+
+def test_refine_runtime_bf16_precision(dsdf_ckpt):
+    from sdflabel_tpu import config as cfg_mod
+    from sdflabel_tpu.pipelines.refine_css import RefineRuntime
+
+    cfg = cfg_mod.RefineCfg(precision="float16", grid_density=12)
+    dcfg, dparams = deepsdf.load_torch_checkpoint(dsdf_ckpt)
+    rt = RefineRuntime(cfg, None, dcfg, dparams, surface_capacity=128)
+    assert rt.compute_dtype == jnp.bfloat16
+    leaf = jax.tree.leaves(rt.dsdf_params)[0]
+    assert leaf.dtype == jnp.bfloat16
+    surf, sdf = rt.surface(np.asarray([1.0, 0, 0], np.float32))
+    assert sdf.dtype == jnp.float32
+    assert np.isfinite(np.asarray(surf.points)).all()
+
+    cfg32 = cfg_mod.RefineCfg(precision="float32", grid_density=12)
+    rt32 = RefineRuntime(cfg32, None, dcfg, dparams, surface_capacity=128)
+    assert rt32.compute_dtype == jnp.float32
+
+
+def test_distributed_init_single_process():
+    from sdflabel_tpu.parallel import mesh as mesh_mod
+
+    # single-process: must not raise
+    mesh_mod.initialize_distributed()
+    assert list(mesh_mod.process_frame_subset(10)) == list(range(10))

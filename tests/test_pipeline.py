@@ -169,6 +169,54 @@ def test_refine_annotation_end_to_end(synthetic_world):
     assert (dims > 0.3).all() and (dims < 6.0).all()
 
 
+def test_batched_crops_matches_sequential(synthetic_world):
+    """Letterboxed masked batched refinement == per-crop refinement."""
+    dsdf_cfg, dsdf_params, sample, anno, gt, _ = synthetic_world
+    from sdflabel_tpu.ops import ransac as ransac_mod
+
+    cfg = cfg_mod.RefineCfg(
+        label_type="gt", grid_density=28, rendering_area=32, iters=5,
+        pose_estimator="kabsch",
+    )
+    l, t, r, b = gt["bbox"]
+    img_rgb = sample["image"][..., ::-1]
+    crop = img_rgb[t:b, l:r]
+    from PIL import Image
+
+    crop128 = np.asarray(
+        Image.fromarray((np.clip(crop, 0, 1) * 255).astype(np.uint8)).resize(
+            (128, 128), Image.NEAREST
+        ), np.float32,
+    ) / 255.0
+    oracle = {"nocs_crop": np.transpose(crop128, (2, 0, 1)),
+              "latent": gt["latent"]}
+    rt = SyntheticRuntime(
+        cfg, dsdf_cfg, dsdf_params, oracle,
+        surface_capacity=2048, frustum_capacity=4096,
+        ransac_model_capacity=1024, ransac_scene_capacity=1024,
+        ransac_cfg=ransac_mod.RansacConfig(num_hypotheses=160,
+                                           hypothesis_chunk=8),
+    )
+    np.random.seed(3)
+    prep = pipeline.prepare_crop(rt, sample, anno)
+    assert prep is not None
+
+    refine_fn = rt.refine_fn(prep["crop_hw"], prep["intrinsics"])
+    final_seq, _ = refine_fn(
+        prep["params0"], jnp.asarray(prep["intrinsics"]),
+        jnp.asarray(prep["nocs_target"]), jnp.asarray(prep["frustum"]),
+        jnp.asarray(prep["fmask"]),
+    )
+    [label_b] = pipeline.refine_crops_batched(rt, sample, [prep])
+    label_s = pipeline.finish_label(rt, final_seq, sample, prep["anno"])
+    np.testing.assert_allclose(
+        np.asarray(label_b["location"]), np.asarray(label_s["location"]),
+        atol=1e-3,
+    )
+    np.testing.assert_allclose(label_b["rotation_y"], label_s["rotation_y"],
+                               atol=1e-3)
+
+
 def test_demo_pipeline_via_cli_config(tmp_path, synthetic_world):
     """refine_css_demo through the config path with an npz sample."""
     dsdf_cfg, dsdf_params, sample, anno, gt, _ = synthetic_world

@@ -190,16 +190,17 @@ def test_batched_refine_sharded_runs():
     fmask = jnp.ones((b, 64), bool)
 
     # The data axis of the mesh has 4 devices; crop batch 4 shards 1:1.
+    pmasks = jnp.ones((b,) + crop_hw, bool)
     fn = batched_refine.make_batched_refine(decoder, cfg, grid_pts, crop_hw,
                                             mesh=None)
-    final, hist = fn(params0, Kb, nocs, frustum, fmask)
+    final, hist = fn(params0, Kb, nocs, frustum, fmask, pmasks)
     assert final.yaw.shape == (b, 1)
     assert np.isfinite(np.asarray(hist.loss)).all()
 
     fn_sharded = batched_refine.make_batched_refine(
         decoder, cfg, grid_pts, crop_hw, mesh=mesh_mod.make_mesh(4, 2)
     )
-    final_s, hist_s = fn_sharded(params0, Kb, nocs, frustum, fmask)
+    final_s, hist_s = fn_sharded(params0, Kb, nocs, frustum, fmask, pmasks)
     np.testing.assert_allclose(np.asarray(final_s.trans),
                                np.asarray(final.trans), atol=1e-5)
 
