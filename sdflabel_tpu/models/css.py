@@ -24,7 +24,6 @@ static gather-matmul so it lowers to MXU-friendly ops.
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Any
 
 import flax.linen as nn

@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import dataclasses
 import json
-from typing import Any, Sequence
+from typing import Any
 
 import jax
 import jax.numpy as jnp
@@ -145,12 +145,22 @@ def _layer_norm(p: dict, x: jax.Array) -> jax.Array:
     return (x - mu) * jax.lax.rsqrt(var + 1e-5) * p["scale"] + p["bias"]
 
 
-def apply_sdf(cfg: DeepSDFConfig, params: dict, inputs: jax.Array) -> jax.Array:
+def apply_sdf(cfg: DeepSDFConfig, params: dict, inputs: jax.Array,
+              dropout_rng: jax.Array | None = None) -> jax.Array:
     """SDF MLP forward on (N, latent+3) inputs -> (N,) sdf.
 
-    Mirrors deep_sdf_decoder_scale.py:78-107 (eval mode: dropout off).
+    Mirrors deep_sdf_decoder_scale.py:78-107. dropout_rng=None is eval
+    mode (dropout off, the only mode the reference pipelines use); pass a
+    PRNG key for train-mode dropout at `cfg.dropout` layers (+ optional
+    latent dropout, :85-89).
     """
     x = inputs
+    if dropout_rng is not None and cfg.latent_dropout and inputs.shape[1] > 3:
+        dropout_rng, sub = jax.random.split(dropout_rng)
+        lat = inputs[:, :-3]
+        keep = jax.random.bernoulli(sub, 0.8, lat.shape)
+        x = jnp.concatenate([jnp.where(keep, lat / 0.8, 0.0),
+                             inputs[:, -3:]], axis=-1)
     last = cfg.num_layers - 2
     for l in range(cfg.num_layers - 1):
         if l in cfg.latent_in:
@@ -164,6 +174,12 @@ def apply_sdf(cfg: DeepSDFConfig, params: dict, inputs: jax.Array) -> jax.Array:
             if (not cfg.weight_norm) and l in cfg.norm_layers:
                 x = _layer_norm(params[f"ln{l}"], x)
             x = jax.nn.relu(x)
+            if (dropout_rng is not None and cfg.dropout is not None
+                    and l in cfg.dropout):
+                dropout_rng, sub = jax.random.split(dropout_rng)
+                keep_p = 1.0 - cfg.dropout_prob
+                keep = jax.random.bernoulli(sub, keep_p, x.shape)
+                x = jnp.where(keep, x / keep_p, 0.0)
     x = jnp.tanh(x)  # reference always applies self.th (`:106-107`)
     return x.reshape(-1)
 

@@ -151,6 +151,21 @@ def compute_depth_map(lidar: np.ndarray, cam: np.ndarray, w: int, h: int) -> np.
     return depth
 
 
+def lookat(pos, target, up=(0.0, 1.0, 0.0)) -> np.ndarray:
+    """OpenGL-style lookat matrix (refinement.py:255-277)."""
+    pos = np.asarray(pos, np.float64)
+    up = np.asarray(up, np.float64)
+    f_vec = pos - np.asarray(target, np.float64)
+    f = f_vec / np.linalg.norm(f_vec)
+    u = up / np.linalg.norm(up)
+    s = np.cross(f, u)
+    u2 = np.cross(s, f)
+    m, t = np.eye(4), np.eye(4)
+    m[:3, :3] = np.vstack([s, u2, -f])
+    t[:3, 3] = -pos
+    return m @ t
+
+
 # ---------------------------------------------------------------------------
 # Hidden point removal (HPR)
 # ---------------------------------------------------------------------------

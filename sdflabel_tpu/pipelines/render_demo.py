@@ -15,7 +15,6 @@ import argparse
 import os
 
 import numpy as np
-import jax
 import jax.numpy as jnp
 
 from sdflabel_tpu.models import deepsdf

@@ -17,7 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from sdflabel_tpu import config as cfg_mod
-from sdflabel_tpu.data.crops import Crops, batch_iterator, prefetch_iterator
+from sdflabel_tpu.data.crops import Crops, prefetch_iterator
 from sdflabel_tpu.engine import css_train
 from sdflabel_tpu.models import css as css_mod
 

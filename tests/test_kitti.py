@@ -1,0 +1,136 @@
+"""KITTI3D dataset: parsing + preprocessing on a synthetic KITTI tree."""
+
+import os
+
+import numpy as np
+import pytest
+
+from sdflabel_tpu.data import kitti as kitti_mod
+from sdflabel_tpu.ops import geometry
+
+cv2 = pytest.importorskip("cv2")
+
+
+@pytest.fixture(scope="module")
+def kitti_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("kitti")
+    training = root / "training"
+    for sub in ("image_2", "label_2", "calib", "velodyne"):
+        (training / sub).mkdir(parents=True)
+    (root / "mv3d_kitti_split").mkdir()
+
+    h, w = 96, 128
+    fx = fy = 100.0
+    cx, cy = w / 2, h / 2
+    p2 = np.array([[fx, 0, cx, 0], [0, fy, cy, 0], [0, 0, 1, 0]])
+    # velodyne -> camera: KITTI-style axis permutation
+    velo_to_cam = np.array([
+        [0.0, -1, 0, 0], [0, 0, -1, 0], [1, 0, 0, 0]
+    ])
+
+    names = ["000000", "000001"]
+    rng = np.random.RandomState(0)
+    for name in names:
+        img = (rng.rand(h, w, 3) * 255).astype(np.uint8)
+        cv2.imwrite(str(training / "image_2" / f"{name}.png"), img)
+
+        calib_lines = [
+            "P0: " + " ".join(["0"] * 12),
+            "P1: " + " ".join(["0"] * 12),
+            "P2: " + " ".join(str(v) for v in p2.reshape(-1)),
+            "P3: " + " ".join(["0"] * 12),
+            "R0_rect: " + " ".join(str(v) for v in np.eye(3).reshape(-1)),
+            "Tr_velo_to_cam: " + " ".join(
+                str(v) for v in velo_to_cam.reshape(-1)),
+            "Tr_imu_to_velo: " + " ".join(["0"] * 12),
+        ]
+        (training / "calib" / f"{name}.txt").write_text(
+            "\n".join(calib_lines) + "\n")
+
+        # LIDAR: a blob of points in front of the camera (camera z fwd ->
+        # velodyne x fwd), plus a ground plane
+        n = 3000
+        cam_pts = np.stack([
+            rng.uniform(-4, 4, n), rng.uniform(-1, 1.5, n),
+            rng.uniform(5, 25, n),
+        ], 1)
+        velo = np.zeros((n, 4), np.float32)
+        # invert the velo->cam rotation
+        velo[:, :3] = (np.linalg.inv(velo_to_cam[:3, :3]) @ cam_pts.T).T
+        velo.astype(np.float32).tofile(training / "velodyne" / f"{name}.bin")
+
+        labels = [
+            # type trunc occ alpha l t r b h w l x y z ry
+            "Car 0.0 0 0.2 30 20 80 70 1.5 1.6 3.9 0.5 1.6 12.0 0.3",
+            "Car 0.2 1 0.1 10 40 40 68 1.5 1.6 3.9 -2.0 1.6 15.0 -0.2",
+            "Van 0.0 0 0.0 90 30 120 65 2.0 1.9 5.0 3.0 1.6 18.0 0.0",
+            "DontCare -1 -1 -10 0 0 5 5 -1 -1 -1 -1000 -1000 -1000 -10",
+        ]
+        (training / "label_2" / f"{name}.txt").write_text(
+            "\n".join(labels) + "\n")
+
+    (root / "mv3d_kitti_split" / "trainval.txt").write_text(
+        "\n".join(names) + "\n")
+    return str(root)
+
+
+def test_kitti_dataset_loads(kitti_root):
+    ds = kitti_mod.KITTI3D(kitti_root)
+    assert len(ds) == 2
+    sample = ds[0]
+    assert sample["image"].shape == (96, 128, 3)
+    assert sample["orig_cam"].shape == (3, 3)
+    np.testing.assert_allclose(sample["orig_cam"][0, 0], 100.0, atol=1e-6)
+    assert sample["lidar"].shape[1] == 3
+    # lidar transformed into camera frame: z mostly positive-forward
+    assert (sample["lidar"][:, 2] > 0).mean() > 0.9
+
+    gt = sample["gt"]
+    assert len(gt) == 4
+    car0 = gt[0]
+    assert car0["name"] == "Car"
+    assert car0["bbox"] == [30, 20, 80, 70]
+    assert car0["dimensions"] == [1.5, 1.6, 3.9]
+    assert car0["rotation_y"] == 0.3
+    assert not car0["ignore"]
+    assert gt[3]["ignore"]  # DontCare at x=-1000
+
+    # difficulty split: car0 height 50 >= 40, occ 0, trunc 0 -> easy
+    assert any(a["bbox"] == [30, 20, 80, 70] for a in sample["annos"]["easy"])
+    # car1 occluded=1, trunc 0.2 -> moderate bucket
+    assert any(a["bbox"] == [10, 40, 40, 68]
+               for a in sample["annos"]["medium"])
+
+    # preprocessing produced a depth map with hits
+    assert sample["depth"].shape == (96, 128)
+    assert (sample["depth"] > 0).sum() > 100
+
+
+def test_estimate_normals_plane():
+    """Points on a plane must get the plane normal."""
+    rng = np.random.RandomState(1)
+    pts = np.zeros((500, 3))
+    pts[:, 0] = rng.uniform(-5, 5, 500)
+    pts[:, 2] = rng.uniform(5, 15, 500)
+    pts[:, 1] = 1.6 + rng.randn(500) * 0.01  # ~horizontal plane y=1.6
+    normals = kitti_mod.estimate_normals(pts, radius=2.0)
+    align = np.abs(normals @ np.asarray([0, 1, 0]))
+    assert (align > 0.95).mean() > 0.9
+
+
+def test_get_annos_depth_sorted(kitti_root):
+    ds = kitti_mod.KITTI3D(kitti_root)
+    sample = ds[0]
+    annos = kitti_mod.get_annos("hard", sample)
+    depths = [a["location"][2] for a in annos]
+    assert depths == sorted(depths)
+
+
+def test_compute_depth_map_roundtrip():
+    K = np.array([[100.0, 0, 64], [0, 100.0, 48], [0, 0, 1]])
+    pts = np.array([[0.0, 0, 10], [1.0, 0.5, 20]])
+    depth = geometry.compute_depth_map(pts, K, 128, 96)
+    assert depth[48, 64] == 10.0
+    v = int(0.5 / 20 * 100 + 48)
+    u = int(1.0 / 20 * 100 + 64)
+    assert depth[v, u] == 20.0

@@ -1,6 +1,7 @@
 """Aux subsystems: viz, checkpointing, profiling, HPR, config."""
 
 import configparser
+import json
 import math
 
 import numpy as np
@@ -117,3 +118,83 @@ def test_config_parsing_reference_ini():
     assert tcfg.batch_size == 13
     assert tcfg.lr == 0.001
     assert tcfg.log_dir == "log/demo/"
+
+
+def test_lookat():
+    m = geometry.lookat([0, 0, 10], [0, 0, 0])
+    p = m @ np.array([0, 0, 0, 1.0])
+    # NOTE: the reference's lookat uses F = pos - target (refinement.py:267)
+    # — inverted vs gluLookAt — so the target lands on +z at distance 10.
+    np.testing.assert_allclose(p[:3], [0, 0, 10], atol=1e-9)
+    # points left of view dir map consistently with s = cross(f, up)
+    q = m @ np.array([1, 0, 0, 1.0])
+    np.testing.assert_allclose(q[2], 10, atol=1e-9)
+
+
+def test_deepsdf_workspace_conventions(tmp_path):
+    import torch
+
+    from sdflabel_tpu.models import deepsdf as dsdf
+    from sdflabel_tpu.models import deepsdf_workspace as ws
+
+    cfg = dsdf.DeepSDFConfig(latent_size=2, dims=(16, 16))
+    params = dsdf.init_params(cfg, jax.random.PRNGKey(0))
+    state = {}
+    for ln in range(cfg.num_layers - 1):
+        state[f"lin{ln}.weight"] = torch.from_numpy(
+            np.asarray(params[f"lin{ln}"]["w"]).T.copy())
+        state[f"lin{ln}.bias"] = torch.from_numpy(
+            np.asarray(params[f"lin{ln}"]["b"]).copy())
+    for i, li in enumerate((0, 2, 4)):
+        state[f"scale_net.{li}.weight"] = torch.from_numpy(
+            np.asarray(params["scale_net"][i]["w"]).T.copy())
+        state[f"scale_net.{li}.bias"] = torch.from_numpy(
+            np.asarray(params["scale_net"][i]["b"]).copy())
+
+    exp = tmp_path / "exp"
+    ws.get_model_params_dir(str(exp), True)
+    ws.get_latent_codes_dir(str(exp), True)
+    (exp / "specs.json").write_text(json.dumps({
+        "CodeLength": 2,
+        "NetworkSpecs": {"dims": [16, 16]},
+    }))
+    torch.save({"epoch": 7, "model_state_dict": state},
+               exp / "ModelParameters" / "latest.pth")
+    torch.save({"latent_codes": torch.randn(4, 1, 2)},
+               exp / "LatentCodes" / "latest.pth")
+
+    cfg2, params2, epoch = ws.load_decoder(str(exp), "latest")
+    assert epoch == 7
+    assert cfg2.latent_size == 2
+    codes = ws.load_latent_vectors(str(exp), "latest")
+    assert codes.shape == (4, 2)
+
+    # single-file convention with bf16 precision
+    import shutil
+
+    torch.save({"epoch": 1, "model_state_dict": state}, tmp_path / "net.pt")
+    (tmp_path / "net.json").write_text(json.dumps({
+        "CodeLength": 2, "NetworkArch": "deep_sdf_decoder_scale",
+        "NetworkSpecs": {"dims": [16, 16]},
+    }))
+    cfg3, params3, lat = ws.setup_dsdf(str(tmp_path / "net.pt"),
+                                       precision="float16")
+    assert lat == 2
+    assert jax.tree.leaves(params3)[0].dtype == jnp.bfloat16
+
+
+def test_deepsdf_dropout_train_mode():
+    from sdflabel_tpu.models import deepsdf as dsdf
+
+    cfg = dsdf.DeepSDFConfig(latent_size=2, dims=(16, 16), dropout=(0, 1),
+                             dropout_prob=0.5, latent_dropout=True)
+    params = dsdf.init_params(cfg, jax.random.PRNGKey(0))
+    x = np.random.RandomState(0).randn(32, 5).astype(np.float32)
+    eval_out = dsdf.apply_sdf(cfg, params, jnp.asarray(x))
+    tr1 = dsdf.apply_sdf(cfg, params, jnp.asarray(x),
+                         dropout_rng=jax.random.PRNGKey(1))
+    tr2 = dsdf.apply_sdf(cfg, params, jnp.asarray(x),
+                         dropout_rng=jax.random.PRNGKey(2))
+    assert not np.allclose(np.asarray(tr1), np.asarray(tr2))
+    assert not np.allclose(np.asarray(tr1), np.asarray(eval_out))
+    assert np.isfinite(np.asarray(tr1)).all()
