@@ -30,6 +30,13 @@ REPO = "/root/repo"
 if REPO not in sys.path:
     sys.path.insert(0, REPO)
 
+# Persistent compilation cache: the remote TPU compile of the full
+# refinement program is minutes cold, seconds cached.
+import jax  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+
 GRID_DENSITY = 40
 CAPACITY = 4096
 CROP = 32

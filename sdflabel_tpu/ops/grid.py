@@ -106,23 +106,60 @@ def surface_from_decoder(
     points: jax.Array,
     capacity: int,
     threshold: float = 0.03,
+    two_stage: bool = True,
 ) -> tuple[SurfacePoints, jax.Array]:
     """Decode SDF on `points` and isosurface-project in one jittable call.
 
     `decoder_fn(latent, points) -> (N,) sdf` must be differentiable in
-    `points`; normals are its per-point gradient, obtained via a single
-    vjp with cotangent 1 (equivalent to the reference's sum().backward(),
+    `points`; normals are its per-point gradient, obtained via a vjp with
+    cotangent 1 (equivalent to the reference's sum().backward(),
     grid.py:55, but analytic and side-effect free).
 
-    Returns (surface_points, sdf_grid).
+    two_stage (default): the full grid is decoded ONCE without gradients
+    purely to SELECT the band candidates (top-k smallest |sdf|); the
+    decoder is then re-evaluated differentiably only at the K selected
+    points, and the normals vjp also runs only on those K rows. For
+    K << N (4k of 64k) this cuts decoder matmul work ~2.5x. Semantics are
+    identical: the same function evaluated at the same points, with the
+    same non-differentiable selection indices the reference's
+    masked_select produces (grid.py:65-66).
+
+    Returns (surface_points, sdf_grid) — sdf_grid is the full-grid decode
+    (stop-gradded under two_stage; callers use it diagnostically).
     """
-    sdf, vjp_fn = jax.vjp(lambda p: decoder_fn(latent, p).reshape(-1), points)
-    (grads,) = vjp_fn(jnp.ones_like(sdf))
-    # The reference discards the parameter/latent grads that its inner
-    # backward accumulates (optimizer.py:107); here the vjp w.r.t. points
-    # simply never touches them. Normals enter downstream as values whose
-    # own gradient path flows through the decoder jacobian — matching the
-    # reference where the normals tensor is a grad-carrying leaf.
+    if not two_stage:
+        sdf, vjp_fn = jax.vjp(
+            lambda p: decoder_fn(latent, p).reshape(-1), points
+        )
+        (grads,) = vjp_fn(jnp.ones_like(sdf))
+        # The reference discards the parameter/latent grads its inner
+        # backward accumulates (optimizer.py:107); the vjp w.r.t. points
+        # never touches them. stop_gradient matches the reference where
+        # the normals tensor is a grad-free leaf.
+        grads = jax.lax.stop_gradient(grads)
+        surf = isosurface_project(points, sdf, grads, capacity, threshold)
+        return surf, sdf
+
+    # --- stage 1: selection only (no gradients) ---
+    sdf_all = jax.lax.stop_gradient(decoder_fn(latent, points).reshape(-1))
+    neg_abs, idx = jax.lax.top_k(-jnp.abs(sdf_all), capacity)
+    pts_sel = jnp.take(points, idx, axis=0)
+
+    # --- stage 2: differentiable decode + normals at selected points ---
+    sdf_sel, vjp_fn = jax.vjp(
+        lambda p: decoder_fn(latent, p).reshape(-1), pts_sel
+    )
+    (grads,) = vjp_fn(jnp.ones_like(sdf_sel))
     grads = jax.lax.stop_gradient(grads)
-    surf = isosurface_project(points, sdf, grads, capacity, threshold)
-    return surf, sdf
+
+    norm = jnp.linalg.norm(grads, axis=-1, keepdims=True)
+    normals_unit = grads / jnp.maximum(norm, jnp.finfo(grads.dtype).tiny)
+    projected = pts_sel - sdf_sel[:, None] * normals_unit
+    mask = jnp.abs(sdf_sel) < threshold
+    surf = SurfacePoints(
+        points=projected,
+        nocs=(projected + 1.0) / 2.0,
+        normals=normals_unit,
+        mask=mask,
+    )
+    return surf, sdf_all

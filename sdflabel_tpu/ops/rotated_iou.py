@@ -19,6 +19,8 @@ corner convention (rotate_iou.py:206-239).
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -126,10 +128,19 @@ def _pair_iou(box: jax.Array, qbox: jax.Array, criterion: int) -> jax.Array:
     return inter
 
 
-@jax.jit
-def _rotate_iou_matrix(boxes, query_boxes):
+def _bucket(n: int) -> int:
+    """Round up to a small set of shapes so eval shards with varying box
+    counts reuse compiled programs (compiles are expensive on TPU)."""
+    b = 16
+    while b < n:
+        b *= 2
+    return b
+
+
+@functools.partial(jax.jit, static_argnames="criterion")
+def _rotate_iou_any(boxes, query_boxes, criterion):
     return jax.vmap(
-        lambda b: jax.vmap(lambda q: _pair_iou(b, q, -1))(query_boxes)
+        lambda b: jax.vmap(lambda q: _pair_iou(b, q, criterion))(query_boxes)
     )(boxes)
 
 
@@ -137,22 +148,21 @@ def rotate_iou(boxes, query_boxes, criterion: int = -1) -> np.ndarray:
     """(N,5) x (K,5) -> (N,K) rotated IoU matrix (rotate_iou.py:289-325).
 
     numpy in / numpy out; computation is jitted + vmapped (runs on the
-    default backend — TPU in production, CPU in tests).
+    default backend — TPU in production, CPU in tests). Inputs pad up to
+    power-of-two buckets so shard-size variation doesn't recompile.
     """
-    boxes = jnp.asarray(np.asarray(boxes, np.float32))
-    query_boxes = jnp.asarray(np.asarray(query_boxes, np.float32))
+    boxes = np.asarray(boxes, np.float32)
+    query_boxes = np.asarray(query_boxes, np.float32)
     n, k = boxes.shape[0], query_boxes.shape[0]
     if n == 0 or k == 0:
         return np.zeros((n, k), np.float32)
-    if criterion == -1:
-        out = _rotate_iou_matrix(boxes, query_boxes)
-    else:
-        out = jax.vmap(
-            lambda b: jax.vmap(lambda q: _pair_iou(b, q, criterion))(
-                query_boxes
-            )
-        )(boxes)
-    return np.asarray(out)
+    nb, kb = _bucket(n), _bucket(k)
+    pad_box = np.array([1e6, 1e6, 1.0, 1.0, 0.0], np.float32)
+    boxes_p = np.concatenate([boxes, np.tile(pad_box, (nb - n, 1))])
+    query_p = np.concatenate([query_boxes, np.tile(pad_box, (kb - k, 1))])
+    out = _rotate_iou_any(jnp.asarray(boxes_p), jnp.asarray(query_p),
+                          criterion)
+    return np.asarray(out)[:n, :k]
 
 
 def d3_box_overlap(boxes, qboxes, rinc, criterion=-1, camera_coordinate=True):
