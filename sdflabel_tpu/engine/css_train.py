@@ -97,9 +97,15 @@ def init_train_state(variables: Any, lr: float) -> TrainState:
     )
 
 
-def make_train_step(lr: float, sm_hardness: float = 100.0):
-    """Build the jittable train step: (state, batch) -> (state, metrics)."""
-    model = css_mod.CSSNet(use_running_average=False, sm_hardness=sm_hardness)
+def make_train_step(lr: float, sm_hardness: float = 100.0, model=None):
+    """Build the jittable train step: (state, batch) -> (state, metrics).
+
+    model: optional flax module (e.g. css_fused.CSSNetFused for the
+    grouped-conv fused-head variant); defaults to the canonical CSSNet.
+    """
+    if model is None:
+        model = css_mod.CSSNet(use_running_average=False,
+                               sm_hardness=sm_hardness)
 
     def train_step(state: TrainState, batch: dict):
         opt = make_optimizer(lr, state.variables["params"])

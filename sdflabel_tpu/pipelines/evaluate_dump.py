@@ -56,4 +56,12 @@ def evaluate(cfgp, difficulties=(0, 1)):
         )
         print(formatted)
         results.append(result)
+
+    # Persist mAP + PR curves (SURVEY.md §5 metrics row: the reference only
+    # prints; we save the evaluator's full result dicts for later analysis).
+    out = {}
+    for tag, result in zip(("kitti", "nuscenes"), results):
+        for k, v in result.items():
+            out[f"{tag}/{k}"] = np.asarray(v)
+    np.savez(os.path.join(path_autolabels, "eval_results.npz"), **out)
     return results

@@ -333,7 +333,7 @@ def finish_label(rt: RefineRuntime, final, sample: dict, anno: dict):
 
 
 def refine_annotation(rt: RefineRuntime, sample: dict, anno: dict,
-                      maskrcnn=None, bbox_max_id=None):
+                      maskrcnn=None, bbox_max_id=None, verbose=True):
     """Process one annotation; returns label dict or None (skip)."""
     prep = prepare_crop(rt, sample, anno, maskrcnn, bbox_max_id)
     if prep is None:
@@ -344,6 +344,20 @@ def refine_annotation(rt: RefineRuntime, sample: dict, anno: dict,
         jnp.asarray(prep["nocs_target"]), jnp.asarray(prep["frustum"]),
         jnp.asarray(prep["fmask"]),
     )
+    if verbose:
+        # loss summary (the reference prints per-iteration losses,
+        # optimizer.py:154; one host sync at the end instead of 60)
+        losses = np.asarray(hist.loss)
+        l2d = np.asarray(hist.loss_2d)
+        l3d = np.asarray(hist.loss_3d)
+        applied = np.asarray(hist.applied)
+        print(
+            "REFINE {} iters | loss {:.5f} -> {:.5f} "
+            "(2D {:.5f} -> {:.5f}, 3D {:.5f} -> {:.5f}, applied {}/{})".format(
+                len(losses), losses[0], losses[-1], l2d[0], l2d[-1],
+                l3d[0], l3d[-1], int(applied.sum()), len(applied),
+            )
+        )
     return finish_label(rt, final, sample, prep["anno"])
 
 
