@@ -527,14 +527,30 @@ def refine_css(cfgp, subset_frames=None, batched=True):
         total_annotations[frame_idx] = frame_annos
         total_estimations[frame_idx] = frame_estimations
 
+    # Backfill empty predictions before the in-process eval (the reference
+    # only does this in evaluate_dump.py:37-44; frames where every crop was
+    # skipped would otherwise fail format validation).
+    eval_estimations = []
+    for est in total_estimations.values():
+        if "name" not in est or len(est["name"]) == 0:
+            est = dict(est)
+            est["name"] = []
+            est["location"] = np.zeros((0, 3))
+            est["dimensions"] = np.zeros((0, 3))
+            est["bbox"] = np.zeros((0, 4))
+            est["rotation_y"] = np.zeros((0,))
+            est["alpha"] = np.zeros((0,))
+            est["score"] = np.zeros((0,))
+        eval_estimations.append(est)
+
     for compute_nuscenes in (False, True):
         evaluator = Detection3DEvaluator(
             clean_kitti_data, compute_nuscenes=compute_nuscenes,
             coordinate_frame=CoordinateFrame.CAMERA,
         )
         formatted, _ = evaluator.evaluate_detection_3d(
-            list(total_annotations.values()),
-            list(total_estimations.values()), ["Car"], difficulties=[0],
+            list(total_annotations.values()), eval_estimations,
+            ["Car"], difficulties=[0],
         )
         print(formatted)
     return total_annotations, total_estimations
