@@ -1,0 +1,215 @@
+"""Multi-chip refinement: grid-sharded decode + pixel-sharded render/loss.
+
+This is the BASELINE.json north-star decomposition for one crop across a
+mesh axis ('rays'):
+
+  * the DeepSDF grid decode — the iteration's dominant FLOPs — shards the
+    64k sample points across chips (embarrassingly parallel MLP,
+    SURVEY.md §2.D "grid/point sharding" row); band selection runs a
+    LOCAL top-k per chip followed by an all_gather of the (tiny)
+    candidate sets and a replicated global top-k;
+  * the surfel render and the 2D NOCS loss shard the pixel axis (each
+    chip renders its pixel block against the replicated surface set; the
+    softmax over points is per-pixel, so no cross-chip communication);
+  * the 2D loss reduces via psum of (sum, count) partials — preserving
+    the reference's empty-selection NaN semantics (0/0);
+  * parameter gradients all-reduce automatically through the shard_map
+    transpose of the all_gather/psum pair — the psum'd backward the
+    north star asks for, derived by autodiff rather than hand-written.
+
+Params stay replicated: every chip computes the identical psum'd loss and
+applies the identical update. The whole 60-iteration loop stays inside one
+shard_map'd lax.scan — zero host syncs, one compiled program.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, PartitionSpec as P
+
+from sdflabel_tpu.engine import losses as losses_mod
+from sdflabel_tpu.engine import refine as refine_mod
+from sdflabel_tpu.ops import knn
+from sdflabel_tpu.ops.projection import project_dcm
+
+
+def _round_up(x, m):
+    return (x + m - 1) // m * m
+
+
+def make_sharded_refine_fn(
+    sdf_decoder,
+    cfg: refine_mod.RefineConfig,
+    grid_points: np.ndarray,
+    K,
+    crop_hw: tuple[int, int],
+    mesh: Mesh,
+    axis: str = "rays",
+):
+    """Build the sharded refine function.
+
+    Returns refine(params0, nocs_target (3,h,w), frustum (M,3), fmask (M,))
+      -> (final RefineParams, loss history (iters,)).
+    Shapes/semantics match engine.refine.make_refine_fn; the computation
+    is distributed over `mesh.shape[axis]` devices.
+    """
+    h, w = crop_hw
+    n_dev = mesh.shape[axis]
+    p_total = h * w
+    p_pad = _round_up(p_total, n_dev)
+
+    grid_np = np.asarray(grid_points, np.float32)
+    n_grid = len(grid_np)
+    g_pad = _round_up(n_grid, n_dev)
+    # pad grid with far-away points (|sdf| large -> never selected)
+    grid_padded = np.concatenate(
+        [grid_np, np.full((g_pad - n_grid, 3), 1e3, np.float32)]
+    )
+
+    # pixel-flat geometry
+    K_np = np.asarray(K, np.float32)
+    ys, xs = np.mgrid[0:h, 0:w]
+    pix = np.stack([xs.reshape(-1), ys.reshape(-1)], 1).astype(np.float32)
+    kinv = np.linalg.inv(K_np)
+    kinv_grid = (np.concatenate([pix, np.ones((p_total, 1), np.float32)], 1)
+                 @ kinv.T)
+    pix_rc = np.stack([ys.reshape(-1), xs.reshape(-1)], 1).astype(np.float32)
+    pad_px = p_pad - p_total
+    kinv_grid = np.concatenate(
+        [kinv_grid, np.tile(kinv_grid[-1:], (pad_px, 1))])
+    pix_rc = np.concatenate([pix_rc, np.full((pad_px, 2), 1e6, np.float32)])
+    px_valid = np.concatenate(
+        [np.ones(p_total, bool), np.zeros(pad_px, bool)])
+
+    cap = cfg.surface_capacity
+    local_cap = min(cap, g_pad // n_dev)
+    opt = refine_mod.make_optimizer(cfg)
+    Kj = jnp.asarray(K_np)
+
+    def iteration(params, css_flat, grid_block, rc_block,
+                  pxv_block, frustum, fmask):
+        scene = frustum / params.scale.reshape(())
+        pose = refine_mod.build_render_pose(params.yaw, params.trans)
+        n2 = jnp.sum(jnp.square(params.latent))
+        latent = params.latent / jnp.sqrt(jnp.maximum(n2, 1e-24))
+
+        # ---- stage 1: grid-sharded selection decode ----
+        sdf_local = jax.lax.stop_gradient(
+            sdf_decoder(latent, grid_block).reshape(-1)
+        )
+        neg_local, idx_local = jax.lax.top_k(-jnp.abs(sdf_local), local_cap)
+        cand_pts = jnp.take(grid_block, idx_local, axis=0)
+        all_neg = jax.lax.all_gather(neg_local, axis).reshape(-1)
+        all_pts = jax.lax.all_gather(cand_pts, axis).reshape(-1, 3)
+        neg_sel, sel = jax.lax.top_k(all_neg, cap)
+        pts_sel = jnp.take(all_pts, sel, axis=0)  # replicated (cap, 3)
+
+        # ---- stage 2: differentiable decode + normals at selected pts ----
+        sdf_sel, vjp_fn = jax.vjp(
+            lambda p: sdf_decoder(latent, p).reshape(-1), pts_sel
+        )
+        (grads,) = vjp_fn(jnp.ones_like(sdf_sel))
+        grads = jax.lax.stop_gradient(grads)
+        norm = jnp.linalg.norm(grads, axis=-1, keepdims=True)
+        normals = grads / jnp.maximum(norm, jnp.finfo(grads.dtype).tiny)
+        surf_pts = pts_sel - sdf_sel[:, None] * normals
+        surf_mask = jnp.abs(sdf_sel) < cfg.surface_threshold
+
+        # ---- project (replicated; tiny) ----
+        proj = project_dcm(Kj, pose, surf_pts, normals, normals, (w, h),
+                           output_nocs=True)
+        v3d, nrm, clr = proj.points_3d, proj.normals_3d, proj.colors_3d
+
+        # ---- pixel-sharded surfel render of the NOCS color block ----
+        from sdflabel_tpu.ops import splat as splat_ops
+
+        prob = splat_ops.splat_surfel(
+            Kj, rc_block[:, ::-1], v3d, nrm, point_mask=surf_mask,
+            diam=0.04, softclamp=False, add_bg=False,
+        )  # (cap, P_blk) — rc_block is (row,col); splat wants (x,y)
+        colors_ext = (clr + 1.0) / 2.0
+        rend_block = jnp.clip(prob.T @ colors_ext, max=1.0)  # (P_blk, 3)
+
+        # ---- 3D loss (replicated; optimizer.py:166-198 semantics) ----
+        l3d = losses_mod.loss_3d(
+            v3d, surf_mask & proj.front_mask, scene, fmask, params.scale,
+            threshold=cfg.loss3d_threshold,
+        )
+
+        # ---- 2D loss partials over the local pixel block ----
+        nonzero = (jnp.sum(rend_block, -1) != 0) & pxv_block
+        d = jnp.sqrt(knn.pairwise_sq_dists(rc_block, css_flat[:, :2]))
+        wgt = jnp.maximum(cfg.loss2d_diam - d, 0.0)  # (P_blk, P_css)
+        css_rgb = css_flat[:, 2:5]
+        css_sq = jnp.sum(css_rgb * css_rgb, -1)
+        rend_sq = jnp.sum(rend_block * rend_block, -1)
+        cross = rend_block @ css_rgb.T
+        diff_sq = wgt * wgt * css_sq[None, :] - 2.0 * wgt * cross \
+            + rend_sq[:, None]
+        pos = diff_sq > 0
+        diff = jnp.where(pos, jnp.sqrt(jnp.where(pos, diff_sq, 1.0)), 0.0)
+        diff_min = jnp.min(diff, axis=-1)
+        sel2 = nonzero & (diff_min < cfg.loss2d_threshold)
+        l2_sum = jnp.sum(jnp.where(sel2, diff_min, 0.0))
+        l2_cnt = jnp.sum(sel2)
+        l2_sum = jax.lax.psum(l2_sum, axis)
+        l2_cnt = jax.lax.psum(l2_cnt, axis)
+        any_nz = jax.lax.psum(jnp.sum(nonzero), axis) > 0
+        l2d = jnp.where(any_nz, l2_sum / l2_cnt, 0.0)  # 0/0 NaN preserved
+
+        return cfg.weight_3d * l3d + cfg.weight_2d * l2d, (l2d, l3d)
+
+    def shard_body(params0, css_flat, grid_block, rc_block,
+                   pxv_block, frustum, fmask):
+        def step(carry, _):
+            params, opt_state = carry
+            (loss, (l2d, l3d)), grads = jax.value_and_grad(
+                iteration, has_aux=True
+            )(params, css_flat, grid_block, rc_block,
+              pxv_block, frustum, fmask)
+            ok = jnp.isfinite(loss) & (loss != 0.0)
+            grads = jax.tree.map(
+                lambda g: jnp.where(ok & jnp.isfinite(g).all(), g, 0.0),
+                grads,
+            )
+            updates, new_opt = opt.update(grads, opt_state, params)
+            new_params = optax.apply_updates(params, updates)
+            new_params = jax.tree.map(
+                lambda n, o: jnp.where(ok, n, o), new_params, params)
+            new_opt = jax.tree.map(
+                lambda n, o: jnp.where(ok, n, o), new_opt, opt_state)
+            return (new_params, new_opt), loss
+
+        carry = (params0, opt.init(params0))
+        carry, hist = jax.lax.scan(step, carry, None, length=cfg.iters)
+        return carry[0], hist
+
+    sharded = jax.shard_map(
+        shard_body,
+        mesh=mesh,
+        in_specs=(P(), P(), P(axis), P(axis), P(axis), P(), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+
+    grid_j = jnp.asarray(grid_padded)
+    rc_j = jnp.asarray(pix_rc)
+    pxv_j = jnp.asarray(px_valid)
+
+    @jax.jit
+    def refine(params0, nocs_target, frustum, fmask):
+        css_rgb = nocs_target.reshape(3, p_total).T  # (P, 3)
+        css_flat = jnp.concatenate(
+            [jnp.asarray(pix_rc[:p_total]), css_rgb], axis=-1
+        )  # (P, 5): row, col, r, g, b
+        final, hist = sharded(
+            params0, css_flat, grid_j, rc_j, pxv_j, frustum, fmask
+        )
+        return final, hist
+
+    return refine

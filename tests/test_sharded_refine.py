@@ -1,0 +1,102 @@
+"""Grid+pixel-sharded refinement vs the single-device engine."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from sdflabel_tpu.engine import refine as refine_mod
+from sdflabel_tpu.ops import grid as grid_ops
+from sdflabel_tpu.parallel import mesh as mesh_mod, sharded_refine
+from sdflabel_tpu.renderer import rasterer as rast_mod
+
+
+def _sphere_decoder(radius=0.45):
+    def fn(latent, pts):
+        return jnp.linalg.norm(pts, axis=-1) - (radius + 0.1 * latent[0])
+
+    return fn
+
+
+@pytest.fixture(scope="module")
+def problem():
+    crop_hw = (24, 24)
+    K = rast_mod.calibration_matrix((24, 24))
+    grid_pts = grid_ops.generate_point_grid(24)
+    decoder = _sphere_decoder()
+    cfg = refine_mod.RefineConfig(iters=10, surface_capacity=1024)
+
+    gt = refine_mod.init_refine_params(0.4, [0.05, -0.02, 4.0], 2.0,
+                                       [0.0, 0.0, 0.0])
+    surf, _ = grid_ops.surface_from_decoder(decoder, gt.latent, grid_pts,
+                                            capacity=1024)
+    pose = refine_mod.build_render_pose(gt.yaw, gt.trans)
+    rendering, points = rast_mod.render(
+        jnp.asarray(K), (24, 24), surf.points, surf.normals, surf.normals,
+        pose, point_mask=surf.mask, rot="dcm", primitives="disc",
+        output_nocs=True,
+    )
+    xyz = np.asarray(points.xyz)[np.asarray(points.front_mask)]
+    scene = xyz * 2.0
+    cap = 2048
+    frustum = np.zeros((cap, 3), np.float32)
+    frustum[: len(scene)] = scene[:cap]
+    fmask = np.zeros(cap, bool)
+    fmask[: min(len(scene), cap)] = True
+    init = refine_mod.init_refine_params(0.45, [0.05, -0.02, 4.05], 2.08,
+                                         [0.0, 0.0, 0.0])
+    return (decoder, cfg, grid_pts, K, crop_hw, rendering.color,
+            jnp.asarray(frustum), jnp.asarray(fmask), init)
+
+
+def test_sharded_matches_single_device(problem):
+    (decoder, cfg, grid_pts, K, crop_hw, nocs, frustum, fmask,
+     init) = problem
+    mesh = mesh_mod.make_mesh(n_data=1, n_rays=8)
+
+    single = jax.jit(refine_mod.make_refine_fn(
+        decoder, cfg, jnp.asarray(K), jnp.asarray(K), crop_hw
+    )) if False else jax.jit(refine_mod.make_refine_fn(
+        decoder, cfg, grid_pts, jnp.asarray(K), crop_hw
+    ))
+    final_s, hist_s = single(init, nocs, frustum, fmask)
+
+    sharded_fn = sharded_refine.make_sharded_refine_fn(
+        decoder, cfg, np.asarray(grid_pts), K, crop_hw, mesh, axis="rays"
+    )
+    final_m, hist_m = sharded_fn(init, nocs, frustum, fmask)
+
+    # First iterations match tightly; tiny fp ordering differences in the
+    # distributed top-k/summations compound over the trajectory — accept
+    # ~1% drift over 10 iterations (same basin, same optimum).
+    np.testing.assert_allclose(np.asarray(hist_m)[:2],
+                               np.asarray(hist_s.loss)[:2], rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(hist_m), np.asarray(hist_s.loss),
+                               rtol=2e-2, atol=1e-3)
+    for a, b, name in (
+        (final_m.yaw, final_s.yaw, "yaw"),
+        (final_m.trans, final_s.trans, "trans"),
+        (final_m.scale, final_s.scale, "scale"),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-2,
+                                   err_msg=name)
+    # the raw latent magnitude is meaningless (it is re-normalized to the
+    # sphere every iteration); compare the effective direction
+    la = np.asarray(final_m.latent)
+    lb = np.asarray(final_s.latent)
+    np.testing.assert_allclose(la / max(np.linalg.norm(la), 1e-9),
+                               lb / max(np.linalg.norm(lb), 1e-9), atol=1e-3)
+
+
+def test_sharded_refine_converges(problem):
+    (decoder, cfg, grid_pts, K, crop_hw, nocs, frustum, fmask,
+     init) = problem
+    mesh = mesh_mod.make_mesh(n_data=2, n_rays=4)
+    fn = sharded_refine.make_sharded_refine_fn(
+        decoder, cfg, np.asarray(grid_pts), K, crop_hw, mesh, axis="rays"
+    )
+    final, hist = fn(init, nocs, frustum, fmask)
+    losses = np.asarray(hist)
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+    assert abs(float(final.scale[0]) - 2.0) < 0.08
