@@ -41,6 +41,11 @@ def get_kitti_label(
         capacity=capacity,
     )
     pts = np.asarray(surf.points)[np.asarray(surf.mask)]
+    if len(pts) == 0:
+        # no |sdf| < threshold band at the final latent — no measurable
+        # extent; callers skip the annotation (the reference would crash
+        # on an empty masked_select here)
+        return None, None, cam_t
     scaled_points = pts * scale_f
 
     xmin, xmax = scaled_points[:, 0].min(), scaled_points[:, 0].max()

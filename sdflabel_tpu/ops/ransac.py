@@ -210,9 +210,9 @@ def ransac_pose(
     w = best_inliers.astype(dtype)
     wsum = jnp.maximum(jnp.sum(w), 1.0)
 
-    fit_model = jnp.take(corr_pts, jnp.arange(n), axis=0)  # corr per scene pt
     # correspondences for the final fit re-query colors of inlier scene pts
     # (pose.py:216-218) — identical to the precomputed color_idx gather.
+    fit_model = corr_pts
 
     def weighted_kabsch(canon, pred, w):
         cm = jnp.sum(canon * w[:, None], 0) / wsum

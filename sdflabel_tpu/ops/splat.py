@@ -147,7 +147,9 @@ def splat_surfel(
         z2d = -vertex_3d[:, 2] * depth_constant
         if point_mask is not None:
             z2d = jnp.where(point_mask, z2d, jnp.inf)
-        bg = jnp.min(z2d) - 1.0
+        zmin = jnp.min(z2d)
+        # all-masked guard: inf - 1 would poison the softmax with NaN
+        bg = jnp.where(jnp.isfinite(zmin), zmin - 1.0, 0.0)
         bg_scores = jnp.full((grid_2d.shape[0],), bg, dtype)
 
     return _masked_depth_softmax(z_scores, footprint, add_bg, bg_scores)
@@ -194,19 +196,26 @@ def splat_circle(
 
     scores = jnp.broadcast_to(z, footprint.shape)
     if add_bg:
-        zbg = jnp.min(z) - 1.0
+        zv = z if point_mask is None else jnp.where(point_mask[:, None], z,
+                                                    jnp.inf)
+        zmin = jnp.min(zv)
+        zbg = jnp.where(jnp.isfinite(zmin), zmin - 1.0, 0.0)
         scores = jnp.concatenate(
             [scores, jnp.full((1, scores.shape[1]), zbg, dtype)], axis=0
         )
         footprint = jnp.concatenate([footprint, jnp.ones_like(footprint[:1])], axis=0)
+    # reference composition: softmax(scores * footprint) — footprint zeros
+    # make real out-of-footprint cells contribute exp(0) (primitives.py:68).
+    base = scores * footprint
     if point_mask is not None:
-        pm = point_mask.astype(dtype)[:, None]
+        # padded capacity slots must not exist at all: force their rows to
+        # fmin AFTER the footprint product so they vanish from every
+        # pixel's denominator.
+        pm = point_mask.astype(bool)[:, None]
         if add_bg:
-            pm = jnp.concatenate([pm, jnp.ones((1, 1), dtype)], axis=0)
-        # masked points: score 0 -> contribute exp(0); match reference where
-        # such points simply don't exist: force large negative instead.
-        scores = jnp.where(pm > 0, scores, jnp.finfo(dtype).min)
-    prob = jax.nn.softmax(scores * footprint, axis=0) * footprint
+            pm = jnp.concatenate([pm, jnp.ones((1, 1), bool)], axis=0)
+        base = jnp.where(pm, base, jnp.finfo(dtype).min)
+    prob = jax.nn.softmax(base, axis=0) * footprint
     return prob
 
 
@@ -268,7 +277,8 @@ def splat_circle_opt(
         zmin = jnp.min(z) if point_mask is None else jnp.min(
             jnp.where(point_mask[:, None], z, jnp.inf)
         )
-        bg_scores = jnp.full((p,), zmin - 1.0, dtype)
+        bg = jnp.where(jnp.isfinite(zmin), zmin - 1.0, 0.0)
+        bg_scores = jnp.full((p,), bg, dtype)
     footprint = jax.lax.stop_gradient((dense > 0).astype(dtype))
     if point_mask is not None:
         footprint = footprint * point_mask.astype(dtype)[:, None]

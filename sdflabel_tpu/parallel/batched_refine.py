@@ -39,20 +39,15 @@ def make_batched_refine(
 
     batched = jax.vmap(one)
 
-    def call(params0, K, nocs, fr, fm, pixel_masks=None):
-        if pixel_masks is None:
-            import jax.numpy as jnp
-
-            b = nocs.shape[0]
-            pixel_masks = jnp.ones((b,) + crop_hw, bool)
-        return batched(params0, K, nocs, fr, fm, pixel_masks)
-
+    # pixel_masks is REQUIRED (letterboxed batching always has one; pass
+    # jnp.ones((b,)+crop_hw, bool) for full-frame crops) — an optional arg
+    # would make the sharded in_shardings arity unreachable.
     if mesh is None:
-        return jax.jit(call)
+        return jax.jit(batched)
 
     shard = NamedSharding(mesh, P("data"))
     return jax.jit(
-        call,
+        batched,
         in_shardings=(shard, shard, shard, shard, shard, shard),
         out_shardings=(shard, shard),
     )

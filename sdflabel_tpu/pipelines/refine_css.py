@@ -136,6 +136,11 @@ class RefineRuntime:
                 scale_model=2.0, cfg=rcfg,
             )
         )
+        self._ransac_proc = jax.jit(
+            lambda mp, mc, mm, sp, sc, sm, key: ransac.ransac_pose(
+                mp, mc, mm, sp, sc, sm, key, method="procrustes", cfg=rcfg,
+            )
+        )
         self._ransac_method = cfg.pose_estimator
 
     def css_forward(self, crop_rgb: np.ndarray) -> dict:
@@ -197,17 +202,11 @@ class RefineRuntime:
         pcd_dsdf = jnp.asarray(pcd_dsdf)[:mcap]
         nocs_dsdf = jnp.asarray(nocs_dsdf)[:mcap]
         model_mask = jnp.asarray(model_mask)[:mcap]
-        if method == "kabsch":
-            pose = self._ransac(
-                pcd_dsdf, nocs_dsdf, model_mask, jnp.asarray(sp),
-                jnp.asarray(sc), jnp.asarray(sm), self.next_key(),
-            )
-        else:
-            pose = ransac.ransac_pose(
-                pcd_dsdf, nocs_dsdf, model_mask, jnp.asarray(sp),
-                jnp.asarray(sc), jnp.asarray(sm), self.next_key(),
-                method="procrustes", cfg=self.ransac_cfg,
-            )
+        fn = self._ransac if method == "kabsch" else self._ransac_proc
+        pose = fn(
+            pcd_dsdf, nocs_dsdf, model_mask, jnp.asarray(sp),
+            jnp.asarray(sc), jnp.asarray(sm), self.next_key(),
+        )
         if int(pose.num_inliers) < 5:
             return None
         return {
@@ -322,7 +321,10 @@ def prepare_crop(rt: RefineRuntime, sample: dict, anno: dict,
 
 
 def finish_label(rt: RefineRuntime, final, sample: dict, anno: dict):
-    """Label generation from final params (refine_css.py:228-236)."""
+    """Label generation from final params (refine_css.py:228-236).
+
+    Returns None when the final latent decodes to an empty surface band.
+    """
     label, scaled_points, cam_t = labels_mod.get_kitti_label(
         rt.decoder, rt.grid_points, np.asarray(final.latent),
         np.asarray(final.scale), np.asarray(final.trans),
@@ -418,7 +420,9 @@ def refine_crops_batched(rt: RefineRuntime, sample: dict, preps: list):
             yaw=final.yaw[i], trans=final.trans[i], scale=final.scale[i],
             latent=final.latent[i],
         )
-        labels.append(finish_label(rt, one, sample, p["anno"]))
+        label = finish_label(rt, one, sample, p["anno"])
+        if label is not None:
+            labels.append(label)
     return labels
 
 

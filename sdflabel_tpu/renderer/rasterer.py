@@ -85,14 +85,22 @@ def render(
     primitives: str = "disc",
     output_nocs: bool = False,
     use_bg: bool = False,
+    bg: jax.Array | None = None,
 ) -> tuple[Rendering, RenderedPoints]:
     """Render a point set. See Rasterer for the stateful wrapper.
 
-    Matches Rasterer.forward (rasterer.py:49-155) with bg=None (the only
-    mode the pipelines use); primitives in {'circle', 'circle_opt', 'disc'}.
+    Matches Rasterer.forward (rasterer.py:49-155); primitives in {'circle',
+    'circle_opt', 'disc'}. `bg` is an optional background color image
+    ((3, H, W) or (P, 3)) composited through the background softmax row
+    (rasterer.py:104-113); the pipelines pass bg=None. NOTE: the reference's
+    bg paths for depth/normals are shape-broken (never exercised); here
+    depth/normals composite from the object rows only, while color gets the
+    bg contribution and mask includes the bg probability row (matching the
+    reference's mask formula, which saturates to ~1 under a background).
     """
     res_x, res_y = resolution_px
     dtype = coords.dtype
+    use_bg = use_bg or (bg is not None)
     grid = splat_ops.pixel_grid(res_x, res_y, dtype=dtype)
 
     if rot == "dcm":
@@ -153,8 +161,16 @@ def render(
                 K, grid, v3d, nrm, point_mask, diam=0.04, softclamp=False,
                 add_bg=use_bg,
             )
-        prob_pts = prob[:n]  # exclude bg row (if any)
+        prob_pts = prob[:n]  # object rows (bg row handled below)
         img = prob_pts.T @ feats  # (P, 8) — MXU
+        if use_bg and prob.shape[0] == n + 1:
+            prob_bg = prob[n]  # (P,)
+            if bg is not None:
+                bg_flat = (bg.reshape(3, -1).T if bg.ndim == 3
+                           else bg).astype(dtype)  # (P, 3)
+                img = img.at[:, 0:3].add(prob_bg[:, None] * bg_flat)
+            # mask formula includes the bg probability row (rasterer.py:124)
+            img = img.at[:, 3].add(prob_bg)
     img = img.T.reshape(8, res_y, res_x)
 
     rendering = Rendering(
@@ -198,9 +214,10 @@ class Rasterer:
         self.K = jnp.asarray(K, dtype=dtype)
 
     def __call__(self, coords, normals, colors, camera_pose, point_mask=None,
-                 rot="quat", primitives="disc", output_nocs=False, use_bg=False):
+                 rot="quat", primitives="disc", output_nocs=False,
+                 use_bg=False, bg=None):
         return render(
             self.K, (self.res_x, self.res_y), coords, normals, colors,
             camera_pose, point_mask=point_mask, rot=rot, primitives=primitives,
-            output_nocs=output_nocs, use_bg=use_bg,
+            output_nocs=output_nocs, use_bg=use_bg, bg=bg,
         )

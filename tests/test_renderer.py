@@ -311,3 +311,35 @@ def test_point_mask_equivalence():
                                atol=1e-5)
     np.testing.assert_allclose(np.asarray(r_pad.mask), np.asarray(r_small.mask),
                                atol=1e-5)
+
+
+def test_background_compositing():
+    """bg colors composite through the background softmax row; all-masked
+    surfaces stay NaN-free (code-review findings)."""
+    K, pts, normals, colors, pose = _scene(n=80, seed=19)
+    rast = Rasterer(K, RES)
+    bg = jnp.full((3, RES[1], RES[0]), 0.25)
+    r_bg, _ = rast(jnp.asarray(pts), jnp.asarray(normals), jnp.asarray(colors),
+                   jnp.asarray(pose), rot="dcm", primitives="disc",
+                   output_nocs=True, bg=bg)
+    r_no, _ = rast(jnp.asarray(pts), jnp.asarray(normals), jnp.asarray(colors),
+                   jnp.asarray(pose), rot="dcm", primitives="disc",
+                   output_nocs=True)
+    c_bg = np.asarray(r_bg.color)
+    c_no = np.asarray(r_no.color)
+    assert not np.allclose(c_bg, c_no)  # bg visibly composites
+    empty = c_no.sum(0) == 0  # pixels with no object coverage
+    assert empty.any()
+    np.testing.assert_allclose(c_bg[:, empty], 0.25, atol=1e-5)
+    # mask includes the bg row -> saturates to ~1 everywhere (reference
+    # formula rasterer.py:121-125)
+    np.testing.assert_allclose(np.asarray(r_bg.mask), 1.0, atol=1e-5)
+
+    # all-masked points with bg: no NaNs anywhere
+    mask = np.zeros(80, bool)
+    r_masked, _ = rast(jnp.asarray(pts), jnp.asarray(normals),
+                       jnp.asarray(colors), jnp.asarray(pose),
+                       point_mask=jnp.asarray(mask), rot="dcm",
+                       primitives="disc", output_nocs=True, bg=bg)
+    assert np.isfinite(np.asarray(r_masked.color)).all()
+    np.testing.assert_allclose(np.asarray(r_masked.color), 0.25, atol=1e-5)
