@@ -65,6 +65,8 @@ def test_isosurface_matches_reference():
 
     density = 16
     g3d = Grid3D(density, "cpu", torch.float32)
+    torch.manual_seed(0)  # unseeded weights made the band size (and the
+    # count assertion below) flaky when it exceeded the 1024 capacity
     w = torch.randn(3, 8) * 0.3
     b = torch.randn(8) * 0.1
     v = torch.randn(8, 1) * 0.3
