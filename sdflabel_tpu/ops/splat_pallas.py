@@ -10,14 +10,16 @@ directly:
     prob = softmax_i(masked scores) * footprint        (per pixel p)
 
 computed BLOCKWISE: the (N x P) score/footprint/probability matrices are
-never materialized in HBM. Four 2D-grid kernels (pixel blocks x point
+never materialized in HBM. Three 2D-grid kernels (pixel blocks x point
 chunks) with VMEM scratch accumulators:
 
   fwd:  [znorm]    — per-pixel z-norm reduction (primitives.py:229-231)
         [softmax]  — online softmax (flash-style running max/denominator)
                      + feature composite accumulation
-  bwd:  [corr]     — per-pixel softmax correction c_p = sum_i p.u
-        [grads]    — point-major accumulation of dV, dN, dF
+  bwd:  [grads]    — point-major accumulation of dV, dN, dF; the per-pixel
+                     softmax correction needs NO kernel pass at all —
+                     corr_p = sum_i p_ip (g_p.f_i) = g_p . img_p, i.e. a
+                     dot of the cotangent with the saved forward output
 
 Layout discipline: every per-pixel vector rides the LANE dimension
 ((1, PB) rows; kg and the cotangent arrive pre-transposed) and every
@@ -142,30 +144,6 @@ def _probs(pts_ref, kg_ref, zn, m, inv_d, diam, depth_constant):
     return z, nk, guard, x, p
 
 
-def _corr_kernel(pts_ref, feat_ref, kg_ref, gimg_ref, m_ref, d_ref, zn_ref,
-                 corr_ref, acc_ref, *, diam, depth_constant):
-    c_idx = pl.program_id(1)
-    n_chunks = pl.num_programs(1)
-    d = d_ref[0:1, :]
-    inv_d = jnp.where(d > 0, 1.0 / jnp.maximum(d, 1e-30), 0.0)
-    _, _, _, _, p = _probs(pts_ref, kg_ref, zn_ref[0:1, :], m_ref[0:1, :],
-                           inv_d, diam, depth_constant)
-
-    @pl.when(c_idx == 0)
-    def _():
-        acc_ref[:, :] = jnp.zeros_like(acc_ref)
-
-    # u_ip = sum_f feat[i,f] gimg[f,p] via broadcast rows
-    u = jnp.zeros_like(p)
-    for f in range(NUM_FEATURES):
-        u = u + feat_ref[:, f : f + 1] * gimg_ref[f : f + 1, :]
-    acc_ref[:, :] += jnp.sum(p * u, axis=0, keepdims=True)
-
-    @pl.when(c_idx == n_chunks - 1)
-    def _():
-        corr_ref[:, :] = acc_ref[:, :]
-
-
 def _grads_kernel(pts_ref, feat_ref, kg_ref, gimg_ref, m_ref, d_ref, zn_ref,
                   corr_ref, dv_ref, dn_ref, df_ref, *, diam, depth_constant):
     # grid: (N_chunks, P_blocks) — point chunk OUTER, pixel block INNER so
@@ -284,7 +262,7 @@ def _fwd_call(points_cam, normals_cam, features, kinv_grid, point_mask,
             pltpu.VMEM((f, pb), jnp.float32),
         ],
     )(pts, feats, kg_t, zn)
-    return img_t[:, :p].T, (pts, feats, kg_t, m, d, zn,
+    return img_t[:, :p].T, (pts, feats, kg_t, m, d, zn, img_t,
                             points_cam.shape[0], p)
 
 
@@ -305,7 +283,7 @@ def _core_fwd(points_cam, normals_cam, features, kinv_grid, point_mask,
 
 
 def _core_bwd(diam, depth_constant, block_px, chunk, res, g_img):
-    pts, feats, kg_t, m, d, zn, n, p = res
+    pts, feats, kg_t, m, d, zn, img_t, n, p = res
     n_pad, f = feats.shape
     n_chunks = n_pad // chunk
     p_pad = kg_t.shape[1]
@@ -322,16 +300,11 @@ def _core_bwd(diam, depth_constant, block_px, chunk, res, g_img):
     row_spec = lambda w: pl.BlockSpec((w, pb), lambda i, c: (0, i),
                                       memory_space=pltpu.VMEM)
 
-    corr = pl.pallas_call(
-        functools.partial(_corr_kernel, diam=diam,
-                          depth_constant=depth_constant),
-        grid=(p_pad // pb, n_chunks),
-        in_specs=[pts_spec, feat_spec, kg_spec, row_spec(f), row_spec(1),
-                  row_spec(1), row_spec(1)],
-        out_specs=row_spec(1),
-        out_shape=jax.ShapeDtypeStruct((1, p_pad), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((1, pb), jnp.float32)],
-    )(pts, feats, kg_t, g_img_t, m, d, zn)
+    # Softmax-correction identity: corr_p = sum_i p_ip (g_p . f_i)
+    #                                     = g_p . (sum_i p_ip f_i) = g_p . img_p
+    # — the forward output IS the probability-weighted feature sum, so the
+    # whole correction pass collapses to one tiny elementwise reduction.
+    corr = jnp.sum(g_img_t * img_t, axis=0, keepdims=True)  # (1, p_pad)
 
     # point-major sweep: grid (N_chunks, P_blocks), per-point outputs
     # revisited+accumulated across the inner pixel sweep
