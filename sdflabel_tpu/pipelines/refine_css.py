@@ -599,4 +599,25 @@ def refine_css_demo(cfgp, sample=None):
     for key in necessary:
         frame_annos[key] = np.asarray(frame_annos[key])
         frame_estimations[key] = np.asarray(frame_estimations[key])
+
+    # Headless stand-in for the reference's final Open3D view
+    # (refine_css_demo.py:198 plot_3d_final): BEV schematic of the LIDAR
+    # with estimated (red) vs GT (green) cuboids, saved to the labels dir.
+    if cfg.viz_type and cfg.viz_type != "none":
+        from sdflabel_tpu.utils import viz
+
+        os.makedirs(cfg.labels_out, exist_ok=True)
+        n_est = len(frame_estimations.get("location", []))
+        for i in range(n_est):
+            est = {k: frame_estimations[k][i]
+                   for k in ("dimensions", "location", "rotation_y")}
+            gt_box = None
+            if len(frame_annos.get("location", [])) > i:
+                gt_box = {k: frame_annos[k][i]
+                          for k in ("dimensions", "location", "rotation_y")}
+            viz.plot_bev(
+                sample.get("lidar", np.zeros((0, 3))), label=est,
+                gt_anno=gt_box,
+                path=os.path.join(cfg.labels_out, f"demo_bev_{i}.png"),
+            )
     return frame_annos, frame_estimations

@@ -184,3 +184,18 @@ def test_d3_box_overlap_vertical():
                             b2[:, [0, 2, 3, 5, 6]], 2)
     out2 = riou.d3_box_overlap(boxes, b2, rinc2, -1, True)
     np.testing.assert_allclose(out2, 0.0, atol=1e-6)
+
+
+def test_difficulty_by_distance():
+    from sdflabel_tpu.eval.detection3d import difficulty_by_distance
+
+    gt = _make_anno([[0, 0, 20], [0, 0, 100]],
+                    [[1.5, 1.6, 3.9]] * 2, [0.0, 0.0])
+    dt = _make_anno([[0, 0, 20]], [[1.5, 1.6, 3.9]], [0.0], bbox_h=10)
+    num_valid, ig_gt, ig_dt, dc = difficulty_by_distance(
+        gt, dt, 2, 0, {2: "Car"}, CoordinateFrame.CAMERA,
+        max_depth=(30, 80, 150), min_height=20,
+    )
+    assert num_valid == 1
+    assert ig_gt == [0, 1]  # second GT beyond 30m at difficulty 0
+    assert ig_dt == [1]  # detection bbox height 10 < 20
