@@ -42,6 +42,12 @@ class RefineConfig:
     lr_latent: float = 3e-5  # optimizer.py:38
     surface_capacity: int = 4096
     surface_threshold: float = 0.03  # grid.py:43 default
+    # Opt-in coarse-to-fine surface decode (see grid.surface_from_decoder):
+    # decode only `coarse_cells` grid cells' points in the selection pass.
+    # Semantically identical valid-point set when the |sdf|<threshold band
+    # fits in the cell budget; ~2-4x less decode FLOPs per iteration.
+    coarse_cells: int | None = None
+    coarse_factor: int = 2
     loss3d_threshold: float = 0.2  # optimizer.py:166
     loss2d_diam: float = 5.0  # optimizer.py:200
     loss2d_threshold: float = 1.0  # optimizer.py:200
@@ -130,6 +136,7 @@ def make_refine_fn(
         surf, _sdf = grid_ops.surface_from_decoder(
             sdf_decoder, latent, grid_points,
             capacity=cfg.surface_capacity, threshold=cfg.surface_threshold,
+            coarse_cells=cfg.coarse_cells, coarse_factor=cfg.coarse_factor,
         )
 
         rendering, points = rast_mod.render(

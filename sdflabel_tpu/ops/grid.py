@@ -47,6 +47,27 @@ def generate_point_grid(density: int, dtype=jnp.float32) -> jax.Array:
     return jnp.asarray(_generate_point_grid_np(density), dtype=dtype)
 
 
+@functools.lru_cache(maxsize=8)
+def _cell_children_np(density: int, factor: int) -> np.ndarray:
+    """(Nc, factor^3) flat indices of each coarse cell's fine grid points.
+
+    The density^3 grid (flattened ij-order: idx = x*d^2 + y*d + z) is tiled
+    into (density/factor)^3 cells of factor^3 points each. Column 0 is the
+    cell's corner point, used as the cell's SDF representative.
+    """
+    d, r = density, factor
+    if d % r != 0:
+        raise ValueError(f"density {d} not divisible by coarse factor {r}")
+    dc = d // r
+    c = np.arange(dc, dtype=np.int64) * r
+    cx, cy, cz = np.meshgrid(c, c, c, indexing="ij")
+    base = (cx * d * d + cy * d + cz).reshape(-1)
+    o = np.arange(r, dtype=np.int64)
+    ox, oy, oz = np.meshgrid(o, o, o, indexing="ij")
+    offs = (ox * d * d + oy * d + oz).reshape(-1)
+    return (base[:, None] + offs[None, :]).astype(np.int32)
+
+
 class SurfacePoints(NamedTuple):
     """Fixed-capacity surface point set (all arrays have leading dim K).
 
@@ -107,6 +128,8 @@ def surface_from_decoder(
     capacity: int,
     threshold: float = 0.03,
     two_stage: bool = True,
+    coarse_cells: int | None = None,
+    coarse_factor: int = 2,
 ) -> tuple[SurfacePoints, jax.Array]:
     """Decode SDF on `points` and isosurface-project in one jittable call.
 
@@ -124,10 +147,28 @@ def surface_from_decoder(
     same non-differentiable selection indices the reference's
     masked_select produces (grid.py:65-66).
 
+    coarse_cells (opt-in, requires two_stage): a coarse-to-fine selection
+    pass. The grid is tiled into (d/coarse_factor)^3 cells; the decoder
+    first runs only on each cell's corner point, the `coarse_cells` cells
+    with smallest |sdf| are kept, and the band top-k then runs on just
+    those cells' coarse_factor^3 points. For a well-behaved (~1-Lipschitz)
+    SDF whose band fits inside `coarse_cells` cells AND within `capacity`
+    points, the selected surface set is IDENTICAL to the full-grid pass at
+    ~4x less decode work. If the band overflows either budget, a different
+    (but still valid, |sdf| < threshold) subset of the band may be chosen
+    — e.g. an untrained decoder whose output is near zero everywhere. The
+    validity mask stays correct in all cases: never invalid points. This
+    is an approximation the reference has no analogue of, so it is OFF by
+    default.
+
     Returns (surface_points, sdf_grid) — sdf_grid is the full-grid decode
-    (stop-gradded under two_stage; callers use it diagnostically).
+    (stop-gradded under two_stage; callers use it diagnostically). Under
+    coarse_cells, sdf_grid covers only the candidate subset
+    (coarse_cells * coarse_factor^3 values, cell-major order).
     """
     if not two_stage:
+        if coarse_cells is not None:
+            raise ValueError("coarse_cells requires two_stage=True")
         sdf, vjp_fn = jax.vjp(
             lambda p: decoder_fn(latent, p).reshape(-1), points
         )
@@ -139,6 +180,25 @@ def surface_from_decoder(
         grads = jax.lax.stop_gradient(grads)
         surf = isosurface_project(points, sdf, grads, capacity, threshold)
         return surf, sdf
+
+    # --- stage 0 (optional): coarse cell selection ---
+    if coarse_cells is not None:
+        d = round(points.shape[0] ** (1.0 / 3.0))
+        if d**3 != points.shape[0]:
+            raise ValueError(f"points ({points.shape[0]}) is not a cube grid")
+        children = jnp.asarray(_cell_children_np(d, coarse_factor))
+        # a budget >= the cell count degenerates to full two-stage decode
+        coarse_cells = min(coarse_cells, children.shape[0])
+        if capacity > coarse_cells * children.shape[1]:
+            raise ValueError(
+                f"capacity {capacity} exceeds coarse candidate pool "
+                f"{coarse_cells}*{children.shape[1]}"
+            )
+        reps = jnp.take(points, children[:, 0], axis=0)
+        sdf_rep = jax.lax.stop_gradient(decoder_fn(latent, reps).reshape(-1))
+        _, cell_idx = jax.lax.top_k(-jnp.abs(sdf_rep), coarse_cells)
+        cand_idx = jnp.take(children, cell_idx, axis=0).reshape(-1)
+        points = jnp.take(points, cand_idx, axis=0)
 
     # --- stage 1: selection only (no gradients) ---
     sdf_all = jax.lax.stop_gradient(decoder_fn(latent, points).reshape(-1))

@@ -50,6 +50,7 @@ def make_sharded_refine_fn(
     crop_hw: tuple[int, int],
     mesh: Mesh,
     axis: str = "rays",
+    use_fused: bool | None = None,
 ):
     """Build the sharded refine function.
 
@@ -57,6 +58,11 @@ def make_sharded_refine_fn(
       -> (final RefineParams, loss history (iters,)).
     Shapes/semantics match engine.refine.make_refine_fn; the computation
     is distributed over `mesh.shape[axis]` devices.
+
+    use_fused: None = auto (Pallas fused splat on TPU, dense elsewhere —
+    same policy as renderer.rasterer.USE_FUSED_SPLAT). Each shard runs the
+    kernel on its own pixel block, so the (cap, P_blk) splat matrices are
+    never materialized on any chip.
     """
     h, w = crop_hw
     n_dev = mesh.shape[axis]
@@ -74,14 +80,8 @@ def make_sharded_refine_fn(
     # pixel-flat geometry
     K_np = np.asarray(K, np.float32)
     ys, xs = np.mgrid[0:h, 0:w]
-    pix = np.stack([xs.reshape(-1), ys.reshape(-1)], 1).astype(np.float32)
-    kinv = np.linalg.inv(K_np)
-    kinv_grid = (np.concatenate([pix, np.ones((p_total, 1), np.float32)], 1)
-                 @ kinv.T)
     pix_rc = np.stack([ys.reshape(-1), xs.reshape(-1)], 1).astype(np.float32)
     pad_px = p_pad - p_total
-    kinv_grid = np.concatenate(
-        [kinv_grid, np.tile(kinv_grid[-1:], (pad_px, 1))])
     pix_rc = np.concatenate([pix_rc, np.full((pad_px, 2), 1e6, np.float32)])
     px_valid = np.concatenate(
         [np.ones(p_total, bool), np.zeros(pad_px, bool)])
@@ -90,6 +90,8 @@ def make_sharded_refine_fn(
     local_cap = min(cap, g_pad // n_dev)
     opt = refine_mod.make_optimizer(cfg)
     Kj = jnp.asarray(K_np)
+    fused = (use_fused if use_fused is not None
+             else jax.default_backend() == "tpu")
 
     def iteration(params, css_flat, grid_block, rc_block,
                   pxv_block, frustum, fmask):
@@ -126,14 +128,35 @@ def make_sharded_refine_fn(
         v3d, nrm, clr = proj.points_3d, proj.normals_3d, proj.colors_3d
 
         # ---- pixel-sharded surfel render of the NOCS color block ----
-        from sdflabel_tpu.ops import splat as splat_ops
-
-        prob = splat_ops.splat_surfel(
-            Kj, rc_block[:, ::-1], v3d, nrm, point_mask=surf_mask,
-            diam=0.04, softclamp=False, add_bg=False,
-        )  # (cap, P_blk) — rc_block is (row,col); splat wants (x,y)
         colors_ext = (clr + 1.0) / 2.0
-        rend_block = jnp.clip(prob.T @ colors_ext, max=1.0)  # (P_blk, 3)
+        if fused:
+            from sdflabel_tpu.ops import splat_pallas
+
+            # kinv rows derived from the shard's pixel coords with the SAME
+            # formula/precision as splat_surfel (splat.py:106-110): an
+            # ulp-different host-side precompute flips binarized footprint
+            # bits at the sigmoid-underflow edge.
+            Kinv = jnp.linalg.inv(Kj.astype(jnp.float32))
+            ones = jnp.ones((rc_block.shape[0], 1), jnp.float32)
+            kinv_block = jnp.matmul(
+                jnp.concatenate([rc_block[:, ::-1], ones], axis=-1), Kinv.T,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            feats = jnp.concatenate(
+                [colors_ext, jnp.ones((cap, 1), v3d.dtype), v3d[:, 2:3],
+                 (nrm + 1.0) / 2.0], axis=-1)  # (cap, 8)
+            img = splat_pallas.surfel_composite(
+                v3d, nrm, feats, kinv_block, point_mask=surf_mask, diam=0.04,
+            )  # (P_blk, 8)
+            rend_block = jnp.clip(img[:, :3], max=1.0)
+        else:
+            from sdflabel_tpu.ops import splat as splat_ops
+
+            prob = splat_ops.splat_surfel(
+                Kj, rc_block[:, ::-1], v3d, nrm, point_mask=surf_mask,
+                diam=0.04, softclamp=False, add_bg=False,
+            )  # (cap, P_blk) — rc_block is (row,col); splat wants (x,y)
+            rend_block = jnp.clip(prob.T @ colors_ext, max=1.0)  # (P_blk, 3)
 
         # ---- 3D loss (replicated; optimizer.py:166-198 semantics) ----
         l3d = losses_mod.loss_3d(

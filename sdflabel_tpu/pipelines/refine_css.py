@@ -70,7 +70,8 @@ class RefineRuntime:
                  frustum_capacity: int = 8192,
                  ransac_model_capacity: int = 2048,
                  ransac_scene_capacity: int = 2048,
-                 ransac_cfg: ransac.RansacConfig | None = None):
+                 ransac_cfg: ransac.RansacConfig | None = None,
+                 coarse_cells: int | None = None):
         self.cfg = cfg
         self.css_variables = css_variables
         self.dsdf_cfg = dsdf_cfg
@@ -107,6 +108,11 @@ class RefineRuntime:
             else min(8192, cfg.grid_density ** 3)
         )
         self.frustum_capacity = frustum_capacity
+        # Opt-in coarse-to-fine surface decode (grid.surface_from_decoder):
+        # identical labels for a trained (distance-like) decoder, ~2x faster
+        # refinement iterations; OFF by default to match the reference's
+        # full-grid band selection exactly.
+        self.coarse_cells = coarse_cells
         # RANSAC runs on a subsample of model/scene points: the inlier
         # scoring is H x N x M brute force on the MXU; 2048x2048 per
         # hypothesis matches KDTree-quality scoring at a fraction of the
@@ -158,6 +164,7 @@ class RefineRuntime:
                 weight_2d=self.cfg.weight_2d,
                 weight_3d=self.cfg.weight_3d,
                 surface_capacity=self.surface_capacity,
+                coarse_cells=self.coarse_cells,
             )
 
             def fn(params0, K_arr, nocs, fr, fm):
@@ -406,6 +413,7 @@ def refine_crops_batched(rt: RefineRuntime, sample: dict, preps: list):
             iters=rt.cfg.iters, weight_2d=rt.cfg.weight_2d,
             weight_3d=rt.cfg.weight_3d,
             surface_capacity=rt.surface_capacity,
+            coarse_cells=rt.coarse_cells,
         )
         rt._refine_cache[key] = batched_refine.make_batched_refine(
             rt.decoder, rcfg, rt.grid_points, (bh, bw), mesh=None

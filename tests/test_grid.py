@@ -105,6 +105,72 @@ def test_isosurface_matches_reference():
     np.testing.assert_allclose(sort_rows(ours_norm), sort_rows(ref_norm), atol=1e-4)
 
 
+def _valid_sorted(surf):
+    pts = np.asarray(surf.points)[np.asarray(surf.mask)]
+    return pts[np.lexsort(pts.T)]
+
+
+def test_coarse_to_fine_matches_full_sphere():
+    """Coarse-to-fine selection yields the identical valid surface set."""
+    pts = grid_ops.generate_point_grid(20)
+
+    def decoder(_latent, p):
+        return _sphere_sdf(p)
+
+    full, _ = grid_ops.surface_from_decoder(decoder, None, pts, capacity=1024)
+    c2f, _ = grid_ops.surface_from_decoder(
+        decoder, None, pts, capacity=1024, coarse_cells=300, coarse_factor=2
+    )
+    a, b = _valid_sorted(full), _valid_sorted(c2f)
+    assert a.shape == b.shape and a.shape[0] > 100
+    np.testing.assert_allclose(a, b, atol=1e-6)
+    nf = np.asarray(full.normals)[np.asarray(full.mask)]
+    nc = np.asarray(c2f.normals)[np.asarray(c2f.mask)]
+    np.testing.assert_allclose(nf[np.lexsort(a.T, 0)].sum(0),
+                               nc[np.lexsort(b.T, 0)].sum(0), atol=1e-4)
+
+
+def test_coarse_to_fine_matches_full_mlp():
+    """Same equivalence through a random tanh-MLP 'learned' SDF."""
+    rng = np.random.RandomState(3)
+    w = jnp.asarray(rng.randn(3, 8) * 0.3, jnp.float32)
+    b = jnp.asarray(rng.randn(8) * 0.1, jnp.float32)
+    v = jnp.asarray(rng.randn(8, 1) * 0.3, jnp.float32)
+
+    def decoder(_latent, p):
+        return (jnp.tanh(p @ w + b) @ v + 0.05).reshape(-1)
+
+    pts = grid_ops.generate_point_grid(16)
+    full, _ = grid_ops.surface_from_decoder(decoder, None, pts, capacity=512)
+    c2f, _ = grid_ops.surface_from_decoder(
+        decoder, None, pts, capacity=512, coarse_cells=256, coarse_factor=2
+    )
+    a, bb = _valid_sorted(full), _valid_sorted(c2f)
+    assert a.shape == bb.shape and a.shape[0] > 50
+    np.testing.assert_allclose(a, bb, atol=1e-6)
+
+
+def test_coarse_to_fine_validation():
+    pts = grid_ops.generate_point_grid(10)
+
+    def decoder(_latent, p):
+        return _sphere_sdf(p)
+
+    with pytest.raises(ValueError, match="divisible"):
+        grid_ops.surface_from_decoder(decoder, None, pts, capacity=64,
+                                      coarse_cells=8, coarse_factor=3)
+    with pytest.raises(ValueError, match="exceeds"):
+        grid_ops.surface_from_decoder(decoder, None, pts, capacity=512,
+                                      coarse_cells=8, coarse_factor=2)
+    with pytest.raises(ValueError, match="two_stage"):
+        grid_ops.surface_from_decoder(decoder, None, pts, capacity=64,
+                                      coarse_cells=8, two_stage=False)
+    # budget beyond the cell count clamps to full coverage (no top_k error)
+    surf = grid_ops.surface_from_decoder(decoder, None, pts, capacity=64,
+                                         coarse_cells=10**6)[0]
+    assert surf.points.shape == (64, 3)
+
+
 def test_surface_capacity_mask():
     pts = grid_ops.generate_point_grid(10)
     sdf, vjp = jax.vjp(lambda p: _sphere_sdf(p), pts)

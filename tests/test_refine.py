@@ -203,3 +203,21 @@ def test_refinement_converges_on_synthetic_crop():
     # params move toward ground truth
     assert abs(float(final.trans[2]) - 4.0) < 0.05
     assert abs(float(final.scale[0]) - 2.0) < 0.08
+
+    # Coarse-to-fine decode (opt-in) follows the same trajectory: the valid
+    # surface set is identical, so losses/updates match up to fp reordering.
+    import dataclasses
+
+    cfg_c2f = dataclasses.replace(cfg, iters=8, coarse_cells=600)
+    cfg_ref = dataclasses.replace(cfg, iters=8)
+    fn_c2f = jax.jit(refine.make_refine_fn(decoder, cfg_c2f, grid_pts, K,
+                                           crop_hw))
+    fn_ref = jax.jit(refine.make_refine_fn(decoder, cfg_ref, grid_pts, K,
+                                           crop_hw))
+    args = (init, nocs_target, jnp.asarray(frustum), jnp.asarray(fmask))
+    f_c2f, h_c2f = fn_c2f(*args)
+    f_ref, h_ref = fn_ref(*args)
+    np.testing.assert_allclose(np.asarray(h_c2f.loss), np.asarray(h_ref.loss),
+                               rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(f_c2f.trans),
+                               np.asarray(f_ref.trans), atol=1e-5)

@@ -55,8 +55,6 @@ def test_sharded_matches_single_device(problem):
     mesh = mesh_mod.make_mesh(n_data=1, n_rays=8)
 
     single = jax.jit(refine_mod.make_refine_fn(
-        decoder, cfg, jnp.asarray(K), jnp.asarray(K), crop_hw
-    )) if False else jax.jit(refine_mod.make_refine_fn(
         decoder, cfg, grid_pts, jnp.asarray(K), crop_hw
     ))
     final_s, hist_s = single(init, nocs, frustum, fmask)
@@ -86,6 +84,44 @@ def test_sharded_matches_single_device(problem):
     lb = np.asarray(final_s.latent)
     np.testing.assert_allclose(la / max(np.linalg.norm(la), 1e-9),
                                lb / max(np.linalg.norm(lb), 1e-9), atol=1e-3)
+
+
+def test_sharded_fused_matches_dense():
+    """Per-shard fused Pallas splat (interpret mode on CPU) tracks the dense
+    oracle within the kernel's documented tolerance (2e-4 noise +
+    footprint-boundary bit flips; test_splat_pallas.py)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    crop_hw = (16, 16)
+    K = rast_mod.calibration_matrix((16, 16))
+    grid_pts = grid_ops.generate_point_grid(16)
+    decoder = _sphere_decoder()
+    cfg = refine_mod.RefineConfig(iters=2, surface_capacity=256)
+    mesh = mesh_mod.make_mesh(n_data=1, n_rays=2,
+                              devices=jax.devices()[:2])
+    init = refine_mod.init_refine_params(0.45, [0.05, -0.02, 4.05], 2.08,
+                                         [0.0, 0.0, 0.0])
+    rng = np.random.RandomState(0)
+    nocs = jnp.asarray(rng.rand(3, 16, 16), jnp.float32) * 0.5
+    frustum = jnp.asarray(rng.randn(512, 3) * 0.4 + [0, 0, 8.0], jnp.float32)
+    fmask = jnp.ones((512,), bool)
+
+    dense_fn = sharded_refine.make_sharded_refine_fn(
+        decoder, cfg, np.asarray(grid_pts), K, crop_hw, mesh, axis="rays",
+        use_fused=False,
+    )
+    _, hist_dense = dense_fn(init, nocs, frustum, fmask)
+
+    fused_fn = sharded_refine.make_sharded_refine_fn(
+        decoder, cfg, np.asarray(grid_pts), K, crop_hw, mesh, axis="rays",
+        use_fused=True,
+    )
+    with pltpu.force_tpu_interpret_mode():
+        _, hist_fused = fused_fn(init, nocs, frustum, fmask)
+
+    hd, hf = np.asarray(hist_dense), np.asarray(hist_fused)
+    assert np.isfinite(hf).all()
+    np.testing.assert_allclose(hf, hd, rtol=2e-2, atol=5e-3)
 
 
 def test_sharded_refine_converges(problem):
