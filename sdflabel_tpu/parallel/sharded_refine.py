@@ -63,6 +63,13 @@ def make_sharded_refine_fn(
     same policy as renderer.rasterer.USE_FUSED_SPLAT). Each shard runs the
     kernel on its own pixel block, so the (cap, P_blk) splat matrices are
     never materialized on any chip.
+
+    cfg.coarse_cells enables the coarse-to-fine selection pass per shard
+    (grid.surface_from_decoder semantics, distributed): the grid is
+    re-laid-out cell-major so each chip owns whole coarse cells, decodes
+    one representative per local cell, keeps its ~coarse_cells/n_dev best
+    cells, and band-selects only among their children. Same approximation
+    contract as the single-device path, with the budget split per shard.
     """
     h, w = crop_hw
     n_dev = mesh.shape[axis]
@@ -71,11 +78,39 @@ def make_sharded_refine_fn(
 
     grid_np = np.asarray(grid_points, np.float32)
     n_grid = len(grid_np)
-    g_pad = _round_up(n_grid, n_dev)
-    # pad grid with far-away points (|sdf| large -> never selected)
-    grid_padded = np.concatenate(
-        [grid_np, np.full((g_pad - n_grid, 3), 1e3, np.float32)]
-    )
+    cap = cfg.surface_capacity
+
+    if cfg.coarse_cells is not None:
+        from sdflabel_tpu.ops.grid import _cell_children_np
+
+        d = round(n_grid ** (1.0 / 3.0))
+        if d**3 != n_grid:
+            raise ValueError(f"grid ({n_grid}) is not a cube")
+        r3children = _cell_children_np(d, cfg.coarse_factor)  # (Nc, r^3)
+        n_cells, r3 = r3children.shape
+        # cell-major re-layout, padded so each shard owns whole cells
+        nc_pad = _round_up(n_cells, n_dev)
+        grid_cm = grid_np[r3children.reshape(-1)]
+        grid_padded = np.concatenate(
+            [grid_cm, np.full(((nc_pad - n_cells) * r3, 3), 1e3, np.float32)]
+        )
+        g_pad = nc_pad * r3
+        cells_local = nc_pad // n_dev
+        kc_local = min(-(-min(cfg.coarse_cells, n_cells) // n_dev),
+                       cells_local)
+        local_cap = min(cap, kc_local * r3)
+        if n_dev * local_cap < cap:
+            raise ValueError(
+                f"capacity {cap} exceeds the sharded coarse candidate pool "
+                f"{n_dev}x{local_cap}; raise coarse_cells"
+            )
+    else:
+        g_pad = _round_up(n_grid, n_dev)
+        # pad grid with far-away points (|sdf| large -> never selected)
+        grid_padded = np.concatenate(
+            [grid_np, np.full((g_pad - n_grid, 3), 1e3, np.float32)]
+        )
+        local_cap = min(cap, g_pad // n_dev)
 
     # pixel-flat geometry
     K_np = np.asarray(K, np.float32)
@@ -86,8 +121,6 @@ def make_sharded_refine_fn(
     px_valid = np.concatenate(
         [np.ones(p_total, bool), np.zeros(pad_px, bool)])
 
-    cap = cfg.surface_capacity
-    local_cap = min(cap, g_pad // n_dev)
     opt = refine_mod.make_optimizer(cfg)
     Kj = jnp.asarray(K_np)
     fused = (use_fused if use_fused is not None
@@ -101,11 +134,21 @@ def make_sharded_refine_fn(
         latent = params.latent / jnp.sqrt(jnp.maximum(n2, 1e-24))
 
         # ---- stage 1: grid-sharded selection decode ----
+        if cfg.coarse_cells is not None:
+            # stage 0: local coarse cell selection on cell corner points
+            blk = grid_block.reshape(-1, r3, 3)  # (cells_local, r^3, 3)
+            sdf_rep = jax.lax.stop_gradient(
+                sdf_decoder(latent, blk[:, 0]).reshape(-1)
+            )
+            _, cell_idx = jax.lax.top_k(-jnp.abs(sdf_rep), kc_local)
+            cand_grid = jnp.take(blk, cell_idx, axis=0).reshape(-1, 3)
+        else:
+            cand_grid = grid_block
         sdf_local = jax.lax.stop_gradient(
-            sdf_decoder(latent, grid_block).reshape(-1)
+            sdf_decoder(latent, cand_grid).reshape(-1)
         )
         neg_local, idx_local = jax.lax.top_k(-jnp.abs(sdf_local), local_cap)
-        cand_pts = jnp.take(grid_block, idx_local, axis=0)
+        cand_pts = jnp.take(cand_grid, idx_local, axis=0)
         all_neg = jax.lax.all_gather(neg_local, axis).reshape(-1)
         all_pts = jax.lax.all_gather(cand_pts, axis).reshape(-1, 3)
         neg_sel, sel = jax.lax.top_k(all_neg, cap)

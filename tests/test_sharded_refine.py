@@ -124,6 +124,37 @@ def test_sharded_fused_matches_dense():
     np.testing.assert_allclose(hf, hd, rtol=2e-2, atol=5e-3)
 
 
+def test_sharded_coarse_to_fine_matches(problem):
+    """Distributed coarse-to-fine selection tracks the exact sharded path
+    (identical valid band for a distance-like SDF, fp-reorder drift only)."""
+    import dataclasses
+
+    (decoder, cfg, grid_pts, K, crop_hw, nocs, frustum, fmask,
+     init) = problem
+    mesh = mesh_mod.make_mesh(n_data=1, n_rays=8)
+    cfg5 = dataclasses.replace(cfg, iters=5)
+    exact_fn = sharded_refine.make_sharded_refine_fn(
+        decoder, cfg5, np.asarray(grid_pts), K, crop_hw, mesh, axis="rays"
+    )
+    _, hist_exact = exact_fn(init, nocs, frustum, fmask)
+
+    cfg_c2f = dataclasses.replace(cfg5, coarse_cells=600)
+    c2f_fn = sharded_refine.make_sharded_refine_fn(
+        decoder, cfg_c2f, np.asarray(grid_pts), K, crop_hw, mesh,
+        axis="rays",
+    )
+    _, hist_c2f = c2f_fn(init, nocs, frustum, fmask)
+    np.testing.assert_allclose(np.asarray(hist_c2f), np.asarray(hist_exact),
+                               rtol=1e-3)
+
+    # over-tight budget raises an actionable error
+    with pytest.raises(ValueError, match="coarse_cells"):
+        sharded_refine.make_sharded_refine_fn(
+            decoder, dataclasses.replace(cfg5, coarse_cells=8),
+            np.asarray(grid_pts), K, crop_hw, mesh, axis="rays",
+        )
+
+
 def test_sharded_refine_converges(problem):
     (decoder, cfg, grid_pts, K, crop_hw, nocs, frustum, fmask,
      init) = problem
