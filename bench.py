@@ -88,7 +88,12 @@ def build_ours():
 
 def bench_ours():
     run = build_ours()
+    # progress to stderr (stdout is reserved for the one JSON line); the
+    # remote axon compile of the full scanned program is 300-500 s cold
+    print("# compiling (cold remote compile can take ~5-8 min)...",
+          file=sys.stderr, flush=True)
     run()  # compile
+    print("# compiled; timing...", file=sys.stderr, flush=True)
     run()  # warm
     times = []
     for _ in range(3):

@@ -67,6 +67,11 @@ class RefineCfg:
     grid_density: int = 40
     rendering_area: int = 32
     iters: int = 60
+    # 0 = exact full-grid band selection (reference semantics). >0 enables
+    # the coarse-to-fine selection pass with that many coarse cells
+    # (grid.surface_from_decoder; ~1.5x faster refinement, identical band
+    # for trained decoders). TPU extension — no reference equivalent.
+    coarse_cells: int = 0
     pose_estimator: str = "kabsch"
     precision: str = "float16"
     viz_type: str = "none"
@@ -88,6 +93,9 @@ class RefineCfg:
             grid_density=read_cfg_int(cfgp, "input", "grid_density", cls.grid_density),
             rendering_area=read_cfg_int(cfgp, "input", "rendering_area", cls.rendering_area),
             iters=read_cfg_int(cfgp, "optimization", "iters", cls.iters),
+            coarse_cells=read_cfg_int(
+                cfgp, "optimization", "coarse_cells", cls.coarse_cells
+            ),
             pose_estimator=read_cfg_string(
                 cfgp, "optimization", "pose_estimator", cls.pose_estimator
             ),

@@ -111,8 +111,12 @@ class RefineRuntime:
         # Opt-in coarse-to-fine surface decode (grid.surface_from_decoder):
         # identical labels for a trained (distance-like) decoder, ~2x faster
         # refinement iterations; OFF by default to match the reference's
-        # full-grid band selection exactly.
-        self.coarse_cells = coarse_cells
+        # full-grid band selection exactly. Falls back to the INI knob
+        # ([optimization] coarse_cells, 0 = off) when not passed explicitly.
+        self.coarse_cells = (
+            coarse_cells if coarse_cells is not None
+            else (getattr(cfg, "coarse_cells", 0) or None)
+        )
         # RANSAC runs on a subsample of model/scene points: the inlier
         # scoring is H x N x M brute force on the MXU; 2048x2048 per
         # hypothesis matches KDTree-quality scoring at a fraction of the
@@ -228,7 +232,8 @@ def setup_runtime(cfgp_or_cfg, rng_seed: int = 1) -> RefineRuntime:
            else cfg_mod.RefineCfg.from_ini(cfgp_or_cfg))
     css_variables = setup_css(cfg.css_path)
     dsdf_cfg, dsdf_params = deepsdf.load_torch_checkpoint(cfg.deepsdf_path)
-    return RefineRuntime(cfg, css_variables, dsdf_cfg, dsdf_params, rng_seed)
+    return RefineRuntime(cfg, css_variables, dsdf_cfg, dsdf_params, rng_seed,
+                         coarse_cells=cfg.coarse_cells or None)
 
 
 def prepare_crop(rt: RefineRuntime, sample: dict, anno: dict,
