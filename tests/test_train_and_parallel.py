@@ -204,6 +204,17 @@ def test_batched_refine_sharded_runs():
     np.testing.assert_allclose(np.asarray(final_s.trans),
                                np.asarray(final.trans), atol=1e-5)
 
+    # coarse-to-fine through the vmapped path: identical trajectories for
+    # a distance-like SDF (band fits budgets)
+    import dataclasses
+
+    cfg_c2f = dataclasses.replace(cfg, coarse_cells=128)
+    fn_c2f = batched_refine.make_batched_refine(decoder, cfg_c2f, grid_pts,
+                                                crop_hw, mesh=None)
+    final_c, hist_c = fn_c2f(params0, Kb, nocs, frustum, fmask, pmasks)
+    np.testing.assert_allclose(np.asarray(hist_c.loss),
+                               np.asarray(hist.loss), rtol=1e-4, atol=1e-7)
+
 
 def test_rays_sharded_render_matches_dense():
     mesh = mesh_mod.make_mesh(n_data=1, n_rays=8)
