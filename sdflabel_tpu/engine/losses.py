@@ -42,6 +42,22 @@ def loss_3d(
       scale: scalar; used (detached) for the distance threshold
         `threshold / scale` (optimizer.py:186).
     """
+    total, cnt = loss_3d_terms(rendered_pts, rendered_mask, frustum_pts,
+                               frustum_mask, scale, threshold)
+    return jnp.where(cnt > 0, total / jnp.maximum(cnt, 1), 0.0)
+
+
+def loss_3d_terms(
+    rendered_pts: jax.Array,
+    rendered_mask: jax.Array,
+    frustum_pts: jax.Array,
+    frustum_mask: jax.Array,
+    scale: jax.Array,
+    threshold: float = 0.2,
+) -> tuple[jax.Array, jax.Array]:
+    """(sum, count) partials of loss_3d — the mean decomposes over the
+    rendered-point axis, which lets a sharded caller compute per-shard
+    partials and psum them (parallel/sharded_refine.py)."""
     dists, idxs = knn.nearest_neighbor(
         jax.lax.stop_gradient(rendered_pts),
         jax.lax.stop_gradient(frustum_pts),
@@ -58,7 +74,7 @@ def loss_3d(
     pair_d = jnp.where(safe, jnp.sqrt(jnp.where(safe, d2, 1.0)), 0.0)
     cnt = jnp.sum(close)
     total = jnp.sum(jnp.where(close, pair_d, 0.0))
-    return jnp.where(cnt > 0, total / jnp.maximum(cnt, 1), 0.0)
+    return total, cnt
 
 
 def loss_2d(

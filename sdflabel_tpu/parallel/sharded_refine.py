@@ -11,11 +11,17 @@ mesh axis ('rays'):
   * the surfel render and the 2D NOCS loss shard the pixel axis (each
     chip renders its pixel block against the replicated surface set; the
     softmax over points is per-pixel, so no cross-chip communication);
-  * the 2D loss reduces via psum of (sum, count) partials — preserving
-    the reference's empty-selection NaN semantics (0/0);
-  * parameter gradients all-reduce automatically through the shard_map
-    transpose of the all_gather/psum pair — the psum'd backward the
-    north star asks for, derived by autodiff rather than hand-written.
+  * the stage-2 differentiable decode is ALSO sharded: each chip decodes
+    its cap/n_dev slice of the selected band and the results are
+    all_gathered for the per-pixel render;
+  * both losses reduce via psum of (sum, count) partials — the 2D loss
+    over the shard's pixels (preserving the reference's empty-selection
+    NaN semantics, 0/0), the 3D loss over the shard's point slice;
+  * parameter gradients: every loss path is shard-partial and passes
+    exactly one forward psum, and each optimized parameter is routed
+    through a pmean-on-backward identity (_pmean_on_backward) that turns
+    the psum-transpose-inflated per-shard cotangent into the true full
+    gradient — verified against the single-device engine per loss path.
 
 Params stay replicated: every chip computes the identical psum'd loss and
 applies the identical update. The whole 60-iteration loop stays inside one
@@ -40,6 +46,33 @@ from sdflabel_tpu.ops.projection import project_dcm
 
 def _round_up(x, m):
     return (x + m - 1) // m * m
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _pmean_on_backward(x, axis):
+    """Identity forward; pmean over `axis` on the backward pass.
+
+    Replicated-parameter gradient repair for the sharded iteration. Every
+    differentiable loss path below goes through exactly ONE forward psum
+    (the 2D and 3D loss numerators), and psum transposes to psum in JAX —
+    so the cotangent each shard accumulates at a replicated parameter is
+    n_dev * (its own shard partial). The pmean turns that into the true
+    full gradient, identical on every shard: mean_r(n * partial_r) =
+    sum_r partial_r. Verified against the single-device engine per loss
+    path in isolation (tests/test_sharded_refine.py).
+    """
+    return x
+
+
+def _pmean_on_backward_fwd(x, axis):
+    return x, None
+
+
+def _pmean_on_backward_bwd(axis, _, g):
+    return (jax.lax.pmean(g, axis),)
+
+
+_pmean_on_backward.defvjp(_pmean_on_backward_fwd, _pmean_on_backward_bwd)
 
 
 def make_sharded_refine_fn(
@@ -125,13 +158,28 @@ def make_sharded_refine_fn(
     Kj = jnp.asarray(K_np)
     fused = (use_fused if use_fused is not None
              else jax.default_backend() == "tpu")
+    # stage-2 slice size per shard (selected points padded to a multiple)
+    cap_pad = _round_up(cap, n_dev)
+    c2_local = cap_pad // n_dev
 
     def iteration(params, css_flat, grid_block, rc_block,
                   pxv_block, frustum, fmask):
-        scene = frustum / params.scale.reshape(())
-        pose = refine_mod.build_render_pose(params.yaw, params.trans)
-        n2 = jnp.sum(jnp.square(params.latent))
-        latent = params.latent / jnp.sqrt(jnp.maximum(n2, 1e-24))
+        # Every optimized parameter is routed through a pmean-on-backward
+        # identity, and every loss path below is SHARD-PARTIAL (the 2D loss
+        # over this shard's pixels, the 3D loss over this shard's point
+        # slice), reduced by exactly one forward psum. The pmean repairs
+        # the psum-transpose inflation so every chip computes the true
+        # full gradient and applies the identical update (see
+        # _pmean_on_backward).
+        yaw = _pmean_on_backward(params.yaw, axis)
+        trans = _pmean_on_backward(params.trans, axis)
+        scale_p = _pmean_on_backward(params.scale, axis)
+        latent_p = _pmean_on_backward(params.latent, axis)
+
+        scene = frustum / scale_p.reshape(())
+        pose = refine_mod.build_render_pose(yaw, trans)
+        n2 = jnp.sum(jnp.square(latent_p))
+        latent = latent_p / jnp.sqrt(jnp.maximum(n2, 1e-24))
 
         # ---- stage 1: grid-sharded selection decode ----
         if cfg.coarse_cells is not None:
@@ -154,21 +202,52 @@ def make_sharded_refine_fn(
         neg_sel, sel = jax.lax.top_k(all_neg, cap)
         pts_sel = jnp.take(all_pts, sel, axis=0)  # replicated (cap, 3)
 
-        # ---- stage 2: differentiable decode + normals at selected pts ----
-        sdf_sel, vjp_fn = jax.vjp(
-            lambda p: sdf_decoder(latent, p).reshape(-1), pts_sel
+        # ---- stage 2: SHARDED differentiable decode + normals -----------
+        # Each chip decodes its cap/n_dev slice of the selected points and
+        # the results are all_gathered (transpose: psum_scatter, so each
+        # shard backprops exactly its slice's cotangent). The latent is
+        # routed through a psum-backward identity so its gradient is the
+        # SUM of the per-shard partials, replicated — without it, each
+        # chip would apply a different (partial) latent gradient and the
+        # replicated parameters would silently diverge.
+        rank = jax.lax.axis_index(axis)
+        if cap_pad > cap:  # pad tail with copies of the last row
+            pts_pad = jnp.concatenate(
+                [pts_sel, jnp.tile(pts_sel[-1:], (cap_pad - cap, 1))]
+            )
+        else:
+            pts_pad = pts_sel
+        pts_slice = jax.lax.dynamic_slice_in_dim(
+            pts_pad, rank * c2_local, c2_local
         )
-        (grads,) = vjp_fn(jnp.ones_like(sdf_sel))
-        grads = jax.lax.stop_gradient(grads)
+        sdf_slice, vjp_fn = jax.vjp(
+            lambda p: sdf_decoder(latent, p).reshape(-1), pts_slice
+        )
+        (g_slice,) = vjp_fn(jnp.ones_like(sdf_slice))
+        g_slice = jax.lax.stop_gradient(g_slice)
+        norm_s = jnp.linalg.norm(g_slice, axis=-1, keepdims=True)
+        normals_slice = g_slice / jnp.maximum(norm_s,
+                                              jnp.finfo(g_slice.dtype).tiny)
+        surf_pts_slice = pts_slice - sdf_slice[:, None] * normals_slice
+        idx_global = rank * c2_local + jnp.arange(c2_local)
+        mask_slice = (jnp.abs(sdf_slice) < cfg.surface_threshold) \
+            & (idx_global < cap)
+
+        # gathered (replicated) arrays for the per-pixel render; their
+        # backward psum_scatters pixel cotangents back to the owning slice
+        sdf_sel = jax.lax.all_gather(sdf_slice, axis).reshape(-1)[:cap]
+        grads = jax.lax.all_gather(g_slice, axis).reshape(-1, 3)[:cap]
         norm = jnp.linalg.norm(grads, axis=-1, keepdims=True)
         normals = grads / jnp.maximum(norm, jnp.finfo(grads.dtype).tiny)
         surf_pts = pts_sel - sdf_sel[:, None] * normals
         surf_mask = jnp.abs(sdf_sel) < cfg.surface_threshold
 
-        # ---- project (replicated; tiny) ----
+        # ---- project: full set for the render, slice for the 3D loss ----
         proj = project_dcm(Kj, pose, surf_pts, normals, normals, (w, h),
                            output_nocs=True)
         v3d, nrm, clr = proj.points_3d, proj.normals_3d, proj.colors_3d
+        proj_slice = project_dcm(Kj, pose, surf_pts_slice, normals_slice,
+                                 normals_slice, (w, h))
 
         # ---- pixel-sharded surfel render of the NOCS color block ----
         colors_ext = (clr + 1.0) / 2.0
@@ -201,11 +280,17 @@ def make_sharded_refine_fn(
             )  # (cap, P_blk) — rc_block is (row,col); splat wants (x,y)
             rend_block = jnp.clip(prob.T @ colors_ext, max=1.0)  # (P_blk, 3)
 
-        # ---- 3D loss (replicated; optimizer.py:166-198 semantics) ----
-        l3d = losses_mod.loss_3d(
-            v3d, surf_mask & proj.front_mask, scene, fmask, params.scale,
-            threshold=cfg.loss3d_threshold,
+        # ---- 3D loss: point-sharded partials (optimizer.py:166-198) ----
+        # Each shard scores only ITS stage-2 slice so the backward stays
+        # slice-local; the psum of (sum, count) reproduces the full-set
+        # mean (and its 0-if-empty semantics) exactly.
+        l3_sum, l3_cnt = losses_mod.loss_3d_terms(
+            proj_slice.points_3d, mask_slice & proj_slice.front_mask,
+            scene, fmask, scale_p, threshold=cfg.loss3d_threshold,
         )
+        l3_sum = jax.lax.psum(l3_sum, axis)
+        l3_cnt = jax.lax.psum(l3_cnt, axis)
+        l3d = jnp.where(l3_cnt > 0, l3_sum / jnp.maximum(l3_cnt, 1), 0.0)
 
         # ---- 2D loss partials over the local pixel block ----
         nonzero = (jnp.sum(rend_block, -1) != 0) & pxv_block

@@ -155,6 +155,49 @@ def test_sharded_coarse_to_fine_matches(problem):
         )
 
 
+def test_sharded_gradient_parity_per_loss_path():
+    """One optimizer step, sharded vs single-device, each loss path in
+    isolation: SGD steps expose the raw gradients, so this pins the
+    pmean-on-backward accounting exactly (a missing/incorrect collective
+    shows up as an n_dev-factor error)."""
+    import dataclasses
+
+    crop = (16, 16)
+    K = rast_mod.calibration_matrix((16, 16))
+    grid_pts = grid_ops.generate_point_grid(16)
+
+    def dec(latent, p):
+        r = 0.45 + 0.1 * latent[0] + 0.05 * latent[1]
+        return jnp.linalg.norm(p, axis=-1) - r
+
+    mesh = mesh_mod.make_mesh(n_data=1, n_rays=8)
+    init = refine_mod.init_refine_params(0.45, [0.05, -0.02, 4.05], 2.08,
+                                         [0.2, -0.1, 0.05])
+    rng = np.random.RandomState(0)
+    nocs = jnp.asarray(rng.rand(3, 16, 16), jnp.float32) * 0.5
+    fr = jnp.asarray(rng.randn(512, 3) * 0.4 + [0, 0, 8.0], jnp.float32)
+    fm = jnp.ones((512,), bool)
+
+    base = refine_mod.RefineConfig(iters=1, surface_capacity=500)  # %8 != 0
+    for w2, w3 in ((0.0, 0.5), (0.3, 0.0)):
+        cfg = dataclasses.replace(base, weight_2d=w2, weight_3d=w3)
+        single = jax.jit(refine_mod.make_refine_fn(
+            dec, cfg, grid_pts, jnp.asarray(K), crop))
+        f_s, _ = single(init, nocs, fr, fm)
+        fn_sh = sharded_refine.make_sharded_refine_fn(
+            dec, cfg, np.asarray(grid_pts), K, crop, mesh, axis="rays")
+        f_m, _ = fn_sh(init, nocs, fr, fm)
+        for name in ("yaw", "trans", "scale", "latent"):
+            a = (np.asarray(getattr(f_s, name))
+                 - np.asarray(getattr(init, name))).ravel()
+            b = (np.asarray(getattr(f_m, name))
+                 - np.asarray(getattr(init, name))).ravel()
+            np.testing.assert_allclose(
+                b, a, rtol=2e-3, atol=1e-12,
+                err_msg=f"w2={w2} w3={w3} {name}",
+            )
+
+
 def test_sharded_refine_converges(problem):
     (decoder, cfg, grid_pts, K, crop_hw, nocs, frustum, fmask,
      init) = problem
