@@ -256,3 +256,21 @@ def test_rays_sharded_render_matches_dense():
     g_s = jax.grad(loss_sharded)(jnp.asarray(pose))
     g_d = jax.grad(loss_dense)(jnp.asarray(pose))
     np.testing.assert_allclose(np.asarray(g_s), np.asarray(g_d), atol=1e-4)
+
+    # fused Pallas path per shard (interpret mode on CPU): same image and
+    # pose gradient within the kernel's documented tolerance
+    from jax.experimental.pallas import tpu as pltpu
+
+    render_fused = rays.make_rays_sharded_render(mesh, K, res,
+                                                 use_fused=True)
+    with pltpu.force_tpu_interpret_mode():
+        img_f = render_fused(jnp.asarray(pts), jnp.asarray(normals),
+                             jnp.asarray(pose), jnp.asarray(mask))
+        g_f = jax.grad(lambda p: jnp.sum(render_fused(
+            jnp.asarray(pts), jnp.asarray(normals), p,
+            jnp.asarray(mask)) ** 2))(jnp.asarray(pose))
+    mism = np.abs(np.asarray(img_f) - np.asarray(rendering.color)).max(0)
+    assert (mism < 2e-4).mean() > 0.99  # boundary-bit flips allowed
+    scale = max(np.abs(np.asarray(g_d)).max(), 1e-9)
+    np.testing.assert_allclose(np.asarray(g_f) / scale,
+                               np.asarray(g_d) / scale, atol=5e-3)
