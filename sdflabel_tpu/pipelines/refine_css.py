@@ -523,6 +523,11 @@ def refine_css(cfgp, subset_frames=None, batched=True):
                     jnp.asarray(prep["fmask"]),
                 )
                 label = finish_label(rt, final, sample, prep["anno"])
+                if label is None:
+                    # finish_label returns None when the refined latent
+                    # decodes to an empty surface band (QUIRKS #15) —
+                    # skip exactly like the batched branch does.
+                    continue
                 for key, value in label.items():
                     frame_estimations[key].append(value)
 

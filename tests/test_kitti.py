@@ -136,22 +136,17 @@ def test_compute_depth_map_roundtrip():
     assert depth[v, u] == 20.0
 
 
-def test_refine_css_driver_end_to_end(kitti_root, tmp_path, monkeypatch):
-    """Full --refine driver on the synthetic KITTI tree with an untrained
-    CSS net: frames load, crops process, RANSAC correctly finds no pose
-    (garbage NOCS), pickles dump, and the evaluator runs on the empty
-    estimations — the graceful no-detection path end to end."""
+def write_refine_cfg(tmp_path, kitti_root, labels_dir="autolabels"):
+    """Small deepsdf checkpoint (reference format) + refine .ini for driver
+    tests. Returns a loaded ConfigParser."""
     import configparser
     import json as json_mod
-    import pickle
 
     import jax
     import torch
 
     from sdflabel_tpu.models import deepsdf
-    from sdflabel_tpu.pipelines import refine_css as pipeline
 
-    # small deepsdf checkpoint in reference format
     cfg = deepsdf.DeepSDFConfig(latent_size=3, dims=(32,) * 2)
     params = deepsdf.init_params(cfg, jax.random.PRNGKey(0))
     state = {}
@@ -191,10 +186,23 @@ viz_type = none
 2d_weight = 0.3
 3d_weight = 0.5
 [output]
-labels = {tmp_path / 'autolabels'}
+labels = {tmp_path / labels_dir}
 """)
     cfgp = configparser.ConfigParser()
     cfgp.read(ini)
+    return cfgp
+
+
+def test_refine_css_driver_end_to_end(kitti_root, tmp_path, monkeypatch):
+    """Full --refine driver on the synthetic KITTI tree with an untrained
+    CSS net: frames load, crops process, RANSAC correctly finds no pose
+    (garbage NOCS), pickles dump, and the evaluator runs on the empty
+    estimations — the graceful no-detection path end to end."""
+    import pickle
+
+    from sdflabel_tpu.pipelines import refine_css as pipeline
+
+    cfgp = write_refine_cfg(tmp_path, kitti_root)
 
     total_annos, total_estims = pipeline.refine_css(cfgp)
     out_files = list((tmp_path / "autolabels").glob("*.pkl"))
@@ -209,3 +217,61 @@ labels = {tmp_path / 'autolabels'}
 
     results = evaluate(cfgp, difficulties=(0,))
     assert "Box3DAP" in results[0]
+
+
+def test_refine_css_sequential_matches_batched(kitti_root, tmp_path,
+                                               monkeypatch):
+    """Both driver branches (batched=True/False) of refine_css produce the
+    same labels, and both survive a finish_label() -> None skip (the empty
+    surface-band condition, QUIRKS #15). Regression for the round-1 crash
+    where the sequential branch called label.items() with no None guard
+    (reference loop semantics: refine_css.py:94-250)."""
+    from sdflabel_tpu.pipelines import refine_css as pipeline
+
+    cfgp = write_refine_cfg(tmp_path, kitti_root)
+
+    # Deterministic pose so refinement actually runs (the untrained CSS
+    # net would otherwise never clear RANSAC). Fresh arrays each call:
+    # prepare_crop mutates rot/tra in place (azimuth constraint).
+    monkeypatch.setattr(
+        pipeline.RefineRuntime, "estimate_pose",
+        lambda self, *a, **k: {
+            "scale": 4.0,
+            "rot": np.eye(3),
+            "tra": np.array([0.5, 1.6, 12.0]),
+        },
+    )
+
+    # First finish_label of each run returns None — the empty-band skip.
+    real_finish = pipeline.finish_label
+    calls = {"n": 0}
+
+    def flaky_finish(rt, final, sample, anno):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            return None
+        return real_finish(rt, final, sample, anno)
+
+    monkeypatch.setattr(pipeline, "finish_label", flaky_finish)
+
+    results = {}
+    for batched, out in ((True, "lab_batched"), (False, "lab_seq")):
+        cfgp.set("output", "labels", str(tmp_path / out))
+        calls["n"] = 0
+        _, results[batched] = pipeline.refine_css(cfgp, batched=batched)
+        assert calls["n"] >= 2  # at least one skipped + one emitted label
+
+    est_b, est_s = results[True], results[False]
+    assert list(est_b.keys()) == list(est_s.keys())
+    emitted = 0
+    for frame in est_b:
+        eb, es = est_b[frame], est_s[frame]
+        assert len(eb["bbox"]) == len(es["bbox"])
+        emitted += len(eb["bbox"])
+        for key in ("location", "dimensions", "rotation_y", "alpha"):
+            np.testing.assert_allclose(
+                np.asarray(eb[key], np.float64),
+                np.asarray(es[key], np.float64), atol=2e-3,
+                err_msg=f"frame {frame} key {key}",
+            )
+    assert emitted >= 1  # the non-skipped labels actually exist
