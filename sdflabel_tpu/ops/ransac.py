@@ -127,14 +127,21 @@ def ransac_pose(
     color_d, color_idx = knn.nearest_neighbor(scene_cls, model_cls, model_mask)
     corr_pts = jnp.take(model_pts, color_idx, axis=0)  # (N, 3)
 
-    # --- Sample hypotheses: 4 distinct-ish scene indices each.
-    # (The reference samples without replacement; with N >> 4 collisions are
-    # measure-zero — we sample independently and reject degenerate fits via
-    # the SVD validity path.)
+    # --- Sample hypotheses: sample_size scene indices each. The reference
+    # samples WITHOUT replacement (pose.py:139-144); jax.random.choice
+    # without replacement doesn't batch, so we sample independently and
+    # reject any hypothesis whose indices are not pairwise distinct below
+    # (a duplicate collapses the fit to <=3 correspondences and can yield a
+    # garbage pose that still enters scoring).
     probs = scene_mask.astype(dtype)
     probs = probs / jnp.maximum(jnp.sum(probs), 1.0)
     idx = jax.random.choice(
         key, n, shape=(cfg.num_hypotheses, cfg.sample_size), p=probs
+    )
+    distinct_ok = jnp.all(
+        (idx[:, :, None] != idx[:, None, :])
+        | jnp.eye(cfg.sample_size, dtype=bool),
+        axis=(-1, -2),
     )
 
     samp_scene = jnp.take(scene_pts, idx, axis=0)  # (H, 4, 3)
@@ -154,7 +161,7 @@ def ransac_pose(
         scale_h = jnp.ones((cfg.num_hypotheses,), dtype)
         fit_ok = jnp.ones((cfg.num_hypotheses,), bool)
 
-    hyp_ok = color_ok & fit_ok
+    hyp_ok = color_ok & fit_ok & distinct_ok
 
     # --- Score: transformed scene -> model NN inliers (pose.py:171-197)
     def score_chunk(args):

@@ -137,6 +137,121 @@ def test_ransac_comparable_to_reference_estimator():
     assert our_tra_err <= ref_tra_err + 0.05
 
 
+def test_ransac_degenerate_hypotheses_rejected(monkeypatch):
+    """Hypotheses with duplicate sample indices must never win (reference
+    samples without replacement, pose.py:139-144). Force EVERY hypothesis
+    to be the 4x-duplicated index 0: kabsch on four identical points gives
+    cross=0 -> SVD returns rot=I, which on this near-identity problem would
+    score plenty of inliers — the distinct-index rejection must discard it
+    and report 'no pose found' instead."""
+    rng = np.random.RandomState(11)
+    model = rng.uniform(-0.5, 0.5, (300, 3)).astype(np.float32)
+    colors = (model + 1) / 2
+    # scene = model under a SMALL rotation: rot=I scores many inliers
+    th = 0.05
+    rot = np.array([[np.cos(th), 0, np.sin(th)], [0, 1, 0],
+                    [-np.sin(th), 0, np.cos(th)]], np.float32)
+    scene = model @ rot.T
+    scene_colors = colors.copy()
+
+    real_choice = jax.random.choice
+
+    def degenerate_choice(key, a, shape=(), replace=True, p=None, axis=0):
+        out = real_choice(key, a, shape=shape, replace=replace, p=p, axis=axis)
+        return jnp.zeros_like(out)  # all hypotheses sample index 0 four times
+
+    monkeypatch.setattr(ransac.jax.random, "choice", degenerate_choice)
+    pose = ransac.ransac_pose(
+        jnp.asarray(model), jnp.asarray(colors), jnp.ones(300, bool),
+        jnp.asarray(scene), jnp.asarray(scene_colors), jnp.ones(300, bool),
+        jax.random.PRNGKey(5), method="kabsch", scale_model=1.0,
+    )
+    assert int(pose.num_inliers) < 5  # every hypothesis rejected as degenerate
+
+
+def _make_car_like_problem(n_scene=300, outlier_frac=0.7, seed=13):
+    """Symmetric car-like shape at the reference's design point of 70%
+    outliers (pose.py:127-134 derives 567 iterations from outlier_prob=0.7).
+    Box surface with KITTI-car aspect, left-right symmetric about x=0."""
+    rng = np.random.RandomState(seed)
+    half = np.array([0.205, 0.19, 0.5], np.float32)  # w/h/l aspect 1.6:1.5:3.9
+    n_model = 900
+    face_axis = rng.randint(0, 3, n_model)
+    sign = rng.choice([-1.0, 1.0], n_model)
+    model = rng.uniform(-1, 1, (n_model, 3)).astype(np.float32) * half
+    model[np.arange(n_model), face_axis] = (sign * half[face_axis])
+    colors = (model / half / 2 + 0.5).astype(np.float32)  # NOCS from geometry
+    th = 0.7
+    rot = np.array([[np.cos(th), 0, np.sin(th)], [0, 1, 0],
+                    [-np.sin(th), 0, np.cos(th)]], np.float32)
+    tra = np.array([0.4, 1.2, 9.0], np.float32)
+    scale = 2.0
+    pick = rng.randint(0, n_model, n_scene)
+    scene = (model[pick] * scale) @ rot.T + tra
+    scene += rng.randn(n_scene, 3).astype(np.float32) * 0.01
+    scene_colors = colors[pick].copy()
+    n_out = int(outlier_frac * n_scene)
+    out_idx = rng.permutation(n_scene)[:n_out]
+    scene[out_idx] = tra + rng.uniform(-2.5, 2.5, (n_out, 3))
+    scene_colors[out_idx] = rng.uniform(0, 1, (n_out, 3))
+    return model, colors, scene, scene_colors, rot, tra, scale
+
+
+def _score_inliers(pose_rot, pose_tra, scale, model, colors, scene,
+                   scene_colors, metric_thr=0.15, nocs_thr=0.15):
+    """Host re-scoring with the shared inlier criterion (pose.py:171-197) so
+    reference and ours are counted identically."""
+    # the pose maps (scale*model) -> scene; invert it to score scene->model
+    ts = ((scene - pose_tra) @ pose_rot) / max(scale, 1e-9)
+    d = np.linalg.norm(ts[:, None, :] - model[None], axis=-1)
+    nn = d.argmin(1)
+    ok = (d[np.arange(len(scene)), nn] < metric_thr) & (
+        np.linalg.norm(scene_colors - colors[nn], axis=-1) < nocs_thr)
+    return int(ok.sum())
+
+
+def test_ransac_hard_symmetric_case_vs_reference():
+    """Adversarial design point: symmetric car-like box, 70% outliers
+    (the reference's own RANSAC design point). Our pose must be at least
+    as good as the host reference's, counting both with one criterion and
+    allowing the 180-degree symmetry flip."""
+    model, colors, scene, scene_colors, rot_gt, tra_gt, scale = \
+        _make_car_like_problem()
+    np.random.seed(1)
+    ref_pose = RefPoseEstimator("kabsch", scale).estimate(
+        model.copy(), colors.copy(), scene.copy(), scene_colors.copy(),
+        None, None,
+    )
+    assert ref_pose is not None
+    ours = ransac.ransac_pose(
+        jnp.asarray(model), jnp.asarray(colors), jnp.ones(len(model), bool),
+        jnp.asarray(scene), jnp.asarray(scene_colors),
+        jnp.ones(len(scene), bool), jax.random.PRNGKey(6),
+        method="kabsch", scale_model=scale,
+    )
+    assert int(ours.num_inliers) >= 5
+
+    n_ref = _score_inliers(ref_pose["rot"], ref_pose["tra"], scale,
+                           model, colors, scene, scene_colors)
+    n_our = _score_inliers(np.asarray(ours.rot), np.asarray(ours.tra), scale,
+                           model, colors, scene, scene_colors)
+    n_true = int(len(scene) * 0.3)
+    assert n_our >= min(n_ref, int(0.8 * n_true)), (n_our, n_ref, n_true)
+
+    # pose error modulo the shape's 180deg-about-y symmetry
+    flip = np.diag([-1.0, 1.0, -1.0]).astype(np.float32)
+    def rot_err(r):
+        return min(np.linalg.norm(r - rot_gt),
+                   np.linalg.norm(r - rot_gt @ flip))
+    ref_err = rot_err(ref_pose["rot"])
+    our_err = rot_err(np.asarray(ours.rot))
+    assert our_err <= max(ref_err + 0.05, 0.15), (our_err, ref_err)
+    our_tra_err = np.linalg.norm(np.asarray(ours.tra) - tra_gt)
+    ref_tra_err = np.linalg.norm(ref_pose["tra"] - tra_gt)
+    assert our_tra_err <= max(ref_tra_err + 0.05, 0.1), \
+        (our_tra_err, ref_tra_err)
+
+
 def test_ransac_no_pose_when_garbage():
     rng = np.random.RandomState(7)
     model = rng.uniform(-0.5, 0.5, (200, 3)).astype(np.float32)
