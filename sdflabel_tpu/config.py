@@ -60,6 +60,9 @@ class RefineCfg:
 
     kitti_path: str = "data/db/kitti/"
     css_path: str = "data/nets/css.pt"
+    # CSS channel width (extension): 64 = the reference ResNet18 arch;
+    # smaller widths select the cheap CSSNet variant (bundled demo nets).
+    css_width: int = 64
     deepsdf_path: str = "data/nets/deepsdf.pt"
     label_type: str = "maskrcnn"  # gt | rcnn | maskrcnn
     maskrcnn_labels_path: str = ""
@@ -78,12 +81,18 @@ class RefineCfg:
     weight_2d: float = 0.3
     weight_3d: float = 0.5
     labels_out: str = "test_labels"
+    # Evaluator GT filtering: 'kitti' = occlusion/truncation/height
+    # difficulty tiers (clean_kitti_data, detection_3d.py:871-985);
+    # 'distance' = depth-binned tiers (difficulty_by_distance,
+    # detection_3d.py:760-868 — present but unwired in the reference).
+    eval_filter: str = "kitti"
 
     @classmethod
     def from_ini(cls, cfgp: configparser.ConfigParser) -> "RefineCfg":
         return cls(
             kitti_path=read_cfg_string(cfgp, "input", "kitti_path", cls.kitti_path),
             css_path=read_cfg_string(cfgp, "input", "css_path", cls.css_path),
+            css_width=read_cfg_int(cfgp, "input", "css_width", cls.css_width),
             deepsdf_path=read_cfg_string(cfgp, "input", "deepsdf_path", cls.deepsdf_path),
             label_type=read_cfg_string(cfgp, "input", "label_type", cls.label_type),
             maskrcnn_labels_path=read_cfg_string(
@@ -104,6 +113,9 @@ class RefineCfg:
             weight_2d=read_cfg_float(cfgp, "losses", "2d_weight", cls.weight_2d),
             weight_3d=read_cfg_float(cfgp, "losses", "3d_weight", cls.weight_3d),
             labels_out=read_cfg_string(cfgp, "output", "labels", cls.labels_out),
+            eval_filter=read_cfg_string(
+                cfgp, "evaluation", "filter", cls.eval_filter
+            ),
         )
 
 
@@ -113,6 +125,9 @@ class TrainCfg:
 
     data_path: str = "data/db/crops/"
     css_path: str = "data/nets/css.pt"
+    # Augmentation/shuffle seed (extension): deterministic, resume-exact
+    # data streams. -1 = unseeded (the reference's effective behavior).
+    seed: int = 1
     batch_size: int = 13
     epochs: int = 5000000
     lr: float = 0.001
@@ -127,6 +142,7 @@ class TrainCfg:
         return cls(
             data_path=read_cfg_string(cfgp, "input", "data_path", cls.data_path),
             css_path=read_cfg_string(cfgp, "input", "css_path", cls.css_path),
+            seed=read_cfg_int(cfgp, "train", "seed", cls.seed),
             batch_size=read_cfg_int(cfgp, "train", "batch_size", cls.batch_size),
             epochs=read_cfg_int(cfgp, "train", "epochs", cls.epochs),
             lr=read_cfg_float(cfgp, "train", "lr", cls.lr),

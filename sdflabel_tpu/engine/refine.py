@@ -94,6 +94,11 @@ class RefineStepOut(NamedTuple):
     loss_2d: jax.Array
     loss_3d: jax.Array
     applied: jax.Array  # False when the NaN/zero guard skipped the update
+    # Parameters USED by this iteration (pre-update), stacked over the scan:
+    # enables post-hoc re-rendering of the optimization trajectory — the
+    # headless analogue of the reference's per-iteration viz hooks
+    # (optimizer.py:160-164). Tiny (iters x (L+5) floats), so always kept.
+    params: RefineParams
 
 
 def make_refine_fn(
@@ -175,7 +180,8 @@ def make_refine_fn(
         new_opt_state = jax.tree.map(
             lambda new, old: jnp.where(ok, new, old), new_opt_state, opt_state
         )
-        out = RefineStepOut(loss=loss, loss_2d=l2d, loss_3d=l3d, applied=ok)
+        out = RefineStepOut(loss=loss, loss_2d=l2d, loss_3d=l3d, applied=ok,
+                            params=params)
         return (new_params, new_opt_state, nocs_target, frustum_pts,
                 frustum_mask, pixel_mask), out
 

@@ -169,28 +169,37 @@ def project_vecs_onto_sphere(vectors: jax.Array, radius: float = 1.0) -> jax.Arr
 
 
 class CSSNet(nn.Module):
-    """ResNet18-FPN CSS network (resnet_css.py:104-262)."""
+    """ResNet18-FPN CSS network (resnet_css.py:104-262).
+
+    `width` scales every channel count (64/128/256 -> w/2w/4w). width=64 is
+    the reference architecture (required for torch checkpoint import); small
+    widths give a cheap variant for bundled demos and tests. The output
+    bins (256 per NOCS channel) are part of the decode semantics and never
+    scale.
+    """
 
     use_running_average: bool = True
     sm_hardness: float = 100.0  # resnet_css.py:230
+    width: int = 64
 
     @nn.compact
     def __call__(self, x_nchw):
         ura = self.use_running_average
+        wd = self.width
         x = jnp.transpose(x_nchw, (0, 2, 3, 1))  # NCHW -> NHWC
 
-        x1 = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
+        x1 = nn.Conv(wd, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
                      use_bias=False, name="conv1")(x)
-        x1 = TorchBatchNorm(64, ura, name="bn1")(x1)
+        x1 = TorchBatchNorm(wd, ura, name="bn1")(x1)
         x1 = nn.relu(x1)
         x2 = nn.max_pool(x1, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
 
-        x3 = BasicBlock(64, name="layer1_0", use_running_average=ura)(x2)
-        x3 = BasicBlock(64, name="layer1_1", use_running_average=ura)(x3)
-        x3 = BasicBlock(128, 2, True, name="layer2_0", use_running_average=ura)(x3)
-        x3 = BasicBlock(128, name="layer2_1", use_running_average=ura)(x3)
-        x4 = BasicBlock(256, 2, True, name="layer3_0", use_running_average=ura)(x3)
-        x4 = BasicBlock(256, name="layer3_1", use_running_average=ura)(x4)
+        x3 = BasicBlock(wd, name="layer1_0", use_running_average=ura)(x2)
+        x3 = BasicBlock(wd, name="layer1_1", use_running_average=ura)(x3)
+        x3 = BasicBlock(2 * wd, 2, True, name="layer2_0", use_running_average=ura)(x3)
+        x3 = BasicBlock(2 * wd, name="layer2_1", use_running_average=ura)(x3)
+        x4 = BasicBlock(4 * wd, 2, True, name="layer3_0", use_running_average=ura)(x3)
+        x4 = BasicBlock(4 * wd, name="layer3_1", use_running_average=ura)(x4)
 
         # latent head
         x_lat = nn.Conv(3, (1, 1), name="out_lat")(x4)
@@ -198,10 +207,10 @@ class CSSNet(nn.Module):
         latent = project_vecs_onto_sphere(x_lat)
 
         def head(prefix, out_ch):
-            h = Up(128, name=f"up1_{prefix}", use_running_average=ura)(x4, x3)
-            h = Up(64, name=f"up2_{prefix}", use_running_average=ura)(h, x2)
-            h = Up(64, name=f"up3_{prefix}", use_running_average=ura)(h, x1)
-            h = Up(64, add_shortcut=False, name=f"up4_{prefix}",
+            h = Up(2 * wd, name=f"up1_{prefix}", use_running_average=ura)(x4, x3)
+            h = Up(wd, name=f"up2_{prefix}", use_running_average=ura)(h, x2)
+            h = Up(wd, name=f"up3_{prefix}", use_running_average=ura)(h, x1)
+            h = Up(wd, add_shortcut=False, name=f"up4_{prefix}",
                    use_running_average=ura)(h, x)
             return nn.Conv(out_ch, (1, 1), name=f"out_{prefix}")(h)
 

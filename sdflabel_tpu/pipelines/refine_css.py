@@ -130,7 +130,8 @@ class RefineRuntime:
         )
         self.key = jax.random.PRNGKey(rng_seed)
 
-        self._css_model = css_mod.CSSNet(use_running_average=True)
+        self._css_model = css_mod.CSSNet(
+            use_running_average=True, width=getattr(cfg, "css_width", 64))
         self._css_apply = jax.jit(self._css_model.apply)
         self._surface = jax.jit(
             lambda latent: grid_ops.surface_from_decoder(
@@ -230,7 +231,7 @@ class RefineRuntime:
 def setup_runtime(cfgp_or_cfg, rng_seed: int = 1) -> RefineRuntime:
     cfg = (cfgp_or_cfg if isinstance(cfgp_or_cfg, cfg_mod.RefineCfg)
            else cfg_mod.RefineCfg.from_ini(cfgp_or_cfg))
-    css_variables = setup_css(cfg.css_path)
+    css_variables = setup_css(cfg.css_path, width=cfg.css_width)
     dsdf_cfg, dsdf_params = deepsdf.load_torch_checkpoint(cfg.deepsdf_path)
     return RefineRuntime(cfg, css_variables, dsdf_cfg, dsdf_params, rng_seed,
                          coarse_cells=cfg.coarse_cells or None)
@@ -346,8 +347,81 @@ def finish_label(rt: RefineRuntime, final, sample: dict, anno: dict):
     return label
 
 
+def render_trajectory(rt: RefineRuntime, prep: dict, sample: dict, hist,
+                      out_dir: str, tag: str = "", max_frames: int = 8):
+    """Post-hoc per-iteration visualization from the scan history.
+
+    The reference plots patches / full frame / 3D correspondences LIVE every
+    iteration (optimizer.py:160-164, visualizer.py:9-88); our loop is a
+    single jitted lax.scan with zero host syncs, so instead the recorded
+    per-iteration params (RefineStepOut.params) are re-rendered afterwards
+    for `max_frames` evenly spaced iterations — same images, headless PNGs:
+      *_patches.png  rendered-vs-CSS NOCS side by side (visualizer.py:9-19)
+      *_frame.png    normals overlaid into the frame bbox (:22-48)
+      *_corr.png     ('3d' only) BEV correspondence heat lines (:51-88)
+    Returns the list of written paths.
+    """
+    from sdflabel_tpu.renderer import rasterer as rast_mod
+    from sdflabel_tpu.utils import viz
+
+    viz_type = rt.cfg.viz_type
+    if not viz_type or viz_type == "none":
+        return []
+    os.makedirs(out_dir, exist_ok=True)
+    iters = len(np.asarray(hist.loss))
+    sel = np.unique(np.linspace(0, iters - 1, max_frames).astype(int))
+    h, w = prep["crop_hw"]
+    K = jnp.asarray(prep["intrinsics"])
+    written = []
+    for it in sel:
+        p = jax.tree.map(lambda x: jnp.asarray(x[it]), hist.params)
+        # same latent normalization as the refinement iteration
+        lat = np.asarray(p.latent, np.float64)
+        latent = jnp.asarray(
+            lat / np.sqrt(max(float(np.sum(lat * lat)), 1e-24)),
+            jnp.float32)
+        surf, _sdf = rt.surface(latent)
+        pose = refine_mod.build_render_pose(
+            jnp.asarray(p.yaw, jnp.float32), jnp.asarray(p.trans, jnp.float32))
+        rendering, points = rast_mod.render(
+            K, (w, h), surf.points, surf.normals, surf.normals, pose,
+            point_mask=surf.mask, rot="dcm", primitives="disc",
+            output_nocs=True,
+        )
+        base = os.path.join(out_dir, f"{tag}iter{it:04d}")
+        viz.plot_patches(np.asarray(rendering.color), prep["nocs_target"],
+                         path=base + "_patches.png")
+        written.append(base + "_patches.png")
+        if "image" in sample:
+            viz.plot_full_frame(sample["image"],
+                                np.asarray(rendering.normals),
+                                prep["anno"]["bbox"],
+                                path=base + "_frame.png")
+            written.append(base + "_frame.png")
+        if viz_type == "3d":
+            # model->scene nearest neighbors in the scale-normalized frame,
+            # exactly the pairing the 3D loss uses (optimizer.py:180-181)
+            xyz = np.asarray(points.xyz, np.float64)
+            front = np.asarray(points.front_mask, bool)
+            scale = max(float(np.asarray(p.scale).reshape(-1)[0]), 1e-9)
+            scene = np.asarray(prep["frustum"], np.float64) / scale
+            smask = np.asarray(prep["fmask"], bool)
+            d = np.linalg.norm(xyz[:, None, :] - scene[None], axis=-1)
+            d[:, ~smask] = np.inf
+            idxs = d.argmin(1)
+            dmin = d[np.arange(len(xyz)), idxs]
+            ok = front & np.isfinite(dmin)
+            viz.plot_correspondences_bev(
+                xyz, scene, idxs, np.where(ok, dmin, 0.0),
+                mask_a=ok, mask_b=smask, path=base + "_corr.png",
+            )
+            written.append(base + "_corr.png")
+    return written
+
+
 def refine_annotation(rt: RefineRuntime, sample: dict, anno: dict,
-                      maskrcnn=None, bbox_max_id=None, verbose=True):
+                      maskrcnn=None, bbox_max_id=None, verbose=True,
+                      viz_dir=None, viz_tag=""):
     """Process one annotation; returns label dict or None (skip)."""
     prep = prepare_crop(rt, sample, anno, maskrcnn, bbox_max_id)
     if prep is None:
@@ -358,6 +432,8 @@ def refine_annotation(rt: RefineRuntime, sample: dict, anno: dict,
         jnp.asarray(prep["nocs_target"]), jnp.asarray(prep["frustum"]),
         jnp.asarray(prep["fmask"]),
     )
+    if viz_dir is not None:
+        render_trajectory(rt, prep, sample, hist, viz_dir, tag=viz_tag)
     if verbose:
         # loss summary (the reference prints per-iteration losses,
         # optimizer.py:154; one host sync at the end instead of 60)
@@ -495,7 +571,7 @@ def refine_css(cfgp, subset_frames=None, batched=True):
                                          weights_only=False)
 
         preps = []
-        for anno in annos:
+        for anno_idx, anno in enumerate(annos):
             for key, value in anno.items():
                 frame_annos[key].append(value)
 
@@ -516,12 +592,18 @@ def refine_css(cfgp, subset_frames=None, batched=True):
             else:
                 refine_fn = rt.refine_fn(prep["crop_hw"],
                                          prep["intrinsics"])
-                final, _hist = refine_fn(
+                final, hist = refine_fn(
                     prep["params0"], jnp.asarray(prep["intrinsics"]),
                     jnp.asarray(prep["nocs_target"]),
                     jnp.asarray(prep["frustum"]),
                     jnp.asarray(prep["fmask"]),
                 )
+                if cfg.viz_type and cfg.viz_type != "none":
+                    render_trajectory(
+                        rt, prep, sample, hist,
+                        os.path.join(cfg.labels_out, "viz"),
+                        tag=f"f{frame_idx:06d}_a{anno_idx:02d}_",
+                    )
                 label = finish_label(rt, final, sample, prep["anno"])
                 if label is None:
                     # finish_label returns None when the refined latent
@@ -565,9 +647,12 @@ def refine_css(cfgp, subset_frames=None, batched=True):
             est["score"] = np.zeros((0,))
         eval_estimations.append(est)
 
+    from sdflabel_tpu.pipelines.evaluate_dump import FILTER_FNS
+
+    filter_fn = FILTER_FNS[getattr(cfg, "eval_filter", "kitti")]
     for compute_nuscenes in (False, True):
         evaluator = Detection3DEvaluator(
-            clean_kitti_data, compute_nuscenes=compute_nuscenes,
+            filter_fn, compute_nuscenes=compute_nuscenes,
             coordinate_frame=CoordinateFrame.CAMERA,
         )
         formatted, _ = evaluator.evaluate_detection_3d(
@@ -578,6 +663,54 @@ def refine_css(cfgp, subset_frames=None, batched=True):
     return total_annotations, total_estimations
 
 
+def load_demo_sample(root: str = "data/optimization") -> dict:
+    """Bundled demo frame (the reference ships kitti_sample.pt,
+    refine_css_demo.py:51; we ship a synthetic kitti_sample.npz generated
+    by scripts/make_demo_assets.py so --demo runs from a clean checkout).
+    Paths are relative to the process cwd, like the reference's."""
+    import json
+
+    npz_path = os.path.join(root, "kitti_sample.npz")
+    pt_path = os.path.join(root, "kitti_sample.pt")
+    pkl_path = os.path.join(root, "kitti_sample.pkl")
+    if os.path.exists(npz_path):
+        data = np.load(npz_path)
+        sample = {k: data[k] for k in
+                  ("image", "depth", "orig_cam", "world_to_cam", "lidar")}
+        meta = json.loads(str(data["annos_json"]))
+        sample["annos"] = meta["annos"]
+        sample["gt"] = meta.get("gt", [])
+        return sample
+    if os.path.exists(pt_path):
+        import torch
+
+        return torch.load(pt_path, map_location="cpu", weights_only=False)
+    if os.path.exists(pkl_path):
+        return pickle.load(open(pkl_path, "rb"))
+    raise FileNotFoundError(
+        "no demo sample found (data/optimization/kitti_sample.{npz,pt,pkl};"
+        " run scripts/make_demo_assets.py)")
+
+
+def load_demo_maskrcnn(root: str = "data/optimization") -> dict:
+    """Bundled demo MaskRCNN labels (reference: data/optimization/
+    maskrcnn.lbl, refine_css_demo.py:62). Ours is an .npz with `bboxes`
+    (N,4) and per-instance crop-shaped masks `mask_i`."""
+    npz_path = os.path.join(root, "maskrcnn.npz")
+    lbl_path = os.path.join(root, "maskrcnn.lbl")
+    if os.path.exists(npz_path):
+        data = np.load(npz_path)
+        bboxes = data["bboxes"]
+        return {"bboxes": bboxes,
+                "masks": [data[f"mask_{i}"] for i in range(len(bboxes))]}
+    if os.path.exists(lbl_path):
+        import torch
+
+        return torch.load(lbl_path, map_location="cpu", weights_only=False)
+    raise FileNotFoundError(
+        "no maskrcnn demo labels (data/optimization/maskrcnn.{npz,lbl})")
+
+
 def refine_css_demo(cfgp, sample=None):
     """Demo refinement on one pre-stored frame (refine_css_demo.py:23).
 
@@ -585,28 +718,44 @@ def refine_css_demo(cfgp, sample=None):
     data/optimization/kitti_sample.pt (torch) or .npz (ours).
     """
     np.random.seed(1)
-    cfg = cfg_mod.RefineCfg.from_ini(cfgp)
+    cfg = (cfgp if isinstance(cfgp, cfg_mod.RefineCfg)
+           else cfg_mod.RefineCfg.from_ini(cfgp))
     rt = setup_runtime(cfg)
 
     if sample is None:
-        pt_path = "data/optimization/kitti_sample.pt"
-        pkl_path = "data/optimization/kitti_sample.pkl"
-        if os.path.exists(pt_path):
-            import torch
+        sample = load_demo_sample()
 
-            sample = torch.load(pt_path, map_location="cpu",
-                                weights_only=False)
-        elif os.path.exists(pkl_path):
-            sample = pickle.load(open(pkl_path, "rb"))
-        else:
-            raise FileNotFoundError("no demo sample found")
+    # MaskRCNN demo branch (refine_css_demo.py:62-77): argmax-IoU box
+    # replaces the GT bbox (NO 0.5 threshold, unlike the driver's
+    # _fuse_maskrcnn) and the instance mask multiplies the crop inside
+    # prepare_crop when label_type == 'maskrcnn'.
+    maskrcnn_labels = None
+    if cfg.label_type != "gt":
+        maskrcnn_labels = load_demo_maskrcnn()
+
+    viz_dir = None
+    if cfg.viz_type and cfg.viz_type != "none":
+        viz_dir = os.path.join(cfg.labels_out, "viz")
 
     frame_annos, frame_estimations = defaultdict(list), defaultdict(list)
     annos = kitti_mod.get_annos(cfg.diff_annos, sample)
-    for anno in annos:
+    for anno_idx, anno in enumerate(annos):
         for key, value in anno.items():
             frame_annos[key].append(value)
-        label = refine_annotation(rt, sample, anno)
+
+        bbox_max_id = None
+        if maskrcnn_labels is not None:
+            ious = [geometry.get_iou(np.asarray(b, np.float64), anno["bbox"])
+                    for b in np.asarray(maskrcnn_labels["bboxes"])]
+            bbox_max_id = int(np.argmax(ious))
+            anno = dict(anno, bbox=np.asarray(
+                maskrcnn_labels["bboxes"][bbox_max_id]).astype(int))
+
+        label = refine_annotation(rt, sample, anno,
+                                  maskrcnn=maskrcnn_labels,
+                                  bbox_max_id=bbox_max_id,
+                                  viz_dir=viz_dir,
+                                  viz_tag=f"demo_a{anno_idx:02d}_")
         if label is None:
             continue
         for key, value in label.items():

@@ -36,12 +36,14 @@ def load_checkpoint(path: str, template) -> dict:
         return serialization.from_bytes(template, f.read())
 
 
-def setup_css(model_path: str | None = None, rng_seed: int = 0):
+def setup_css(model_path: str | None = None, rng_seed: int = 0,
+              width: int = 64):
     """Initialize (or load) CSS variables (resnet_css.py:265-296 analogue).
 
-    model_path: .pt (torch state dict, imported) or .msgpack (ours).
+    model_path: .pt (torch state dict, imported; width must be 64) or
+    .msgpack (ours, any width).
     """
-    model = css_mod.CSSNet(use_running_average=True)
+    model = css_mod.CSSNet(use_running_average=True, width=width)
     variables = model.init(
         jax.random.PRNGKey(rng_seed), jnp.zeros((1, 3, 128, 128))
     )
@@ -76,9 +78,27 @@ def train_css(cfgp, max_epochs: int | None = None, mesh=None):
     variables = setup_css(cfg.css_path)
 
     os.makedirs(cfg.log_dir, exist_ok=True)
-    trainset = Crops(cfg.data_path)
+    trainset = Crops(cfg.data_path,
+                     seed=None if cfg.seed < 0 else cfg.seed)
 
     state = css_train.init_train_state(variables, cfg.lr)
+
+    # Auto-resume the FULL train state (params + opt state + step) from the
+    # newest orbax checkpoint. The reference only ever saves params
+    # (train_css.py:100) and restarts optimization from scratch; this
+    # exceeds it per SURVEY.md §5 (checkpoint/resume row). Checkpoints are
+    # indexed by epoch so the epoch loop (and its seed-per-epoch shuffle)
+    # continues bit-identically.
+    from sdflabel_tpu.utils import checkpoint as ckpt_mod
+
+    ckpt_dir = os.path.join(cfg.log_dir, "ckpt")
+    start_epoch = 0
+    latest = ckpt_mod.latest_checkpoint(ckpt_dir)
+    if latest is not None:
+        state = ckpt_mod.restore_train_state(latest, state)
+        start_epoch = int(os.path.basename(latest).split("_")[1])
+        print(f"Resumed training from {latest} (epoch {start_epoch}).")
+
     step_fn = css_train.make_train_step(cfg.lr)
     if mesh is not None:
         step_fn = css_train.shard_train_step(step_fn, mesh)
@@ -87,7 +107,8 @@ def train_css(cfgp, max_epochs: int | None = None, mesh=None):
 
     epochs = max_epochs if max_epochs is not None else cfg.epochs
     last_batch, last_pred_vis = None, None
-    for epoch in range(epochs):
+    for epoch in range(start_epoch, epochs):
+        trainset.set_epoch(epoch)
         for batch_idx, batch_np in enumerate(
             prefetch_iterator(trainset, cfg.batch_size,
                               num_threads=cfg.cpu_threads,
@@ -115,6 +136,7 @@ def train_css(cfgp, max_epochs: int | None = None, mesh=None):
             os.makedirs(net_dir, exist_ok=True)
             save_checkpoint(os.path.join(net_dir, "css.msgpack"),
                             state.variables)
+            ckpt_mod.save_train_state(ckpt_dir, state, step=epoch + 1)
             if cfg.plot and last_batch is not None:
                 vis_dir = os.path.join(cfg.log_dir, "vis")
                 os.makedirs(vis_dir, exist_ok=True)

@@ -114,6 +114,78 @@ def plot_bev(
     return img
 
 
+def plot_correspondences_bev(
+    pts_a,
+    pts_b,
+    idxs,
+    dists=None,
+    mask_a=None,
+    mask_b=None,
+    resolution: int = 512,
+    margin: float = 0.1,
+    path: str | None = None,
+):
+    """BEV correspondence view — headless analogue of visualizer.py:51-88.
+
+    Draws both point clouds in bird's-eye view (camera frame: x right,
+    z forward) and a line from pts_a[i] to pts_b[idxs[i]] for every valid
+    correspondence, heat-colored by `dists` (red = far, blue = near),
+    mirroring the reference's build_heatmap + build_correspondence_lineset
+    (refinement.py:280-300, visualizer.py:69-72). pts_a is typically the
+    transformed model cloud, pts_b the scene frustum cloud.
+    """
+    pts_a = np.asarray(pts_a, np.float64)
+    pts_b = np.asarray(pts_b, np.float64)
+    idxs = np.asarray(idxs, np.int64).reshape(-1)
+    mask_a = (np.ones(len(pts_a), bool) if mask_a is None
+              else np.asarray(mask_a, bool))
+    mask_b = (np.ones(len(pts_b), bool) if mask_b is None
+              else np.asarray(mask_b, bool))
+    if dists is None:
+        dists = np.linalg.norm(
+            pts_a - pts_b[np.clip(idxs, 0, max(len(pts_b) - 1, 0))], axis=-1
+        )
+    dists = np.asarray(dists, np.float64).reshape(-1)
+
+    img = np.zeros((resolution, resolution, 3), np.float32)
+    both = np.concatenate([pts_a[mask_a], pts_b[mask_b]], 0)
+    if len(both) == 0:
+        if path:
+            _save(img, path)
+        return img
+    lo = both[:, [0, 2]].min(0)
+    hi = both[:, [0, 2]].max(0)
+    span = np.maximum(hi - lo, 1e-6)
+    lo = lo - margin * span
+    span = span * (1 + 2 * margin)
+
+    def to_px(xz):
+        t = (np.asarray(xz)[:, :2] - lo) / span
+        col = t[:, 0] * (resolution - 1)
+        row = (1.0 - t[:, 1]) * (resolution - 1)
+        return np.clip(np.stack([row, col], 1).astype(int), 0, resolution - 1)
+
+    pa = to_px(pts_a[:, [0, 2]])
+    pb = to_px(pts_b[:, [0, 2]])
+
+    # correspondence lines first so the points draw on top
+    heat = build_heatmap(dists, lo=0.0)
+    valid = mask_a & (idxs >= 0) & (idxs < len(pts_b))
+    valid &= mask_b[np.clip(idxs, 0, len(pts_b) - 1)]
+    for i in np.nonzero(valid)[0]:
+        a, b = pa[i], pb[idxs[i]]
+        n = int(max(abs(b[0] - a[0]), abs(b[1] - a[1]))) + 1
+        rr = np.linspace(a[0], b[0], n).astype(int)
+        cc = np.linspace(a[1], b[1], n).astype(int)
+        img[rr, cc] = heat[i]
+
+    img[pb[mask_b, 0], pb[mask_b, 1]] = (0.45, 0.45, 0.45)  # scene
+    img[pa[mask_a, 0], pa[mask_a, 1]] = (1.0, 0.35, 0.2)  # model
+    if path:
+        _save(img, path)
+    return img
+
+
 def plot_loss_curves(history: dict, path: str | None = None,
                      height: int = 128) -> np.ndarray:
     """Render refinement loss histories as a simple sparkline strip."""

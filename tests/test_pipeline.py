@@ -265,3 +265,43 @@ def test_demo_pipeline_via_cli_config(tmp_path, synthetic_world):
                            pts)
     s2, _ = deepsdf.decode(cfg, params2, jnp.asarray(gt["latent"]), pts)
     np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), atol=1e-6)
+
+
+@pytest.mark.slow
+def test_bundled_demo_end_to_end(tmp_path, monkeypatch):
+    """`--demo` runs from a clean checkout on the committed assets
+    (data/optimization/*, generated by scripts/make_demo_assets.py) —
+    the analogue of the reference's bundled kitti_sample.pt demo
+    (refine_css_demo.py:23-204), including the MaskRCNN fusion branch
+    (:62-77) and per-iteration viz, all headless."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    assets = os.path.join(repo, "data", "optimization")
+    if not os.path.exists(os.path.join(assets, "kitti_sample.npz")):
+        pytest.skip("bundled demo assets not present")
+    monkeypatch.chdir(repo)
+
+    out = str(tmp_path / "demo_out")
+    cfg = cfg_mod.RefineCfg(
+        css_path=os.path.join(assets, "css_demo.msgpack"), css_width=8,
+        deepsdf_path=os.path.join(assets, "deepsdf_demo.pt"),
+        label_type="maskrcnn", diff_annos="easy", grid_density=40,
+        rendering_area=32, iters=20, pose_estimator="kabsch",
+        viz_type="3d", labels_out=out,
+    )
+    np.random.seed(1)
+    annos, ests = pipeline.refine_css_demo(cfg)
+    assert len(ests["location"]) == 1
+
+    # refined label within coarse tolerance of the GT anno (20 iters only;
+    # the full 60-iter run converges to ~1 cm)
+    gt_loc = np.asarray(annos["location"][0], np.float64)
+    est_loc = np.asarray(ests["location"][0], np.float64)
+    assert np.linalg.norm(gt_loc - est_loc) < 0.8
+    dyaw = abs(float(annos["rotation_y"][0]) - float(ests["rotation_y"][0]))
+    assert min(dyaw, abs(dyaw - 2 * math.pi)) < 0.3
+
+    # per-iteration trajectory PNGs + final BEV written
+    viz_files = os.listdir(os.path.join(out, "viz"))
+    assert any(f.endswith("_patches.png") for f in viz_files)
+    assert any(f.endswith("_corr.png") for f in viz_files)
+    assert os.path.exists(os.path.join(out, "demo_bev_0.png"))

@@ -72,6 +72,30 @@ def test_viz_outputs(tmp_path):
     assert hm.shape == (10, 3)
 
 
+def test_plot_correspondences_bev(tmp_path):
+    """Headless analogue of the reference's live 3D correspondence view
+    (visualizer.py:51-88): model + scene BEV points with heat-colored
+    nearest-neighbor lines."""
+    rng = np.random.RandomState(0)
+    model = rng.uniform(-1, 1, (40, 3)) + [0, 0, 10]
+    scene = model + rng.randn(40, 3) * 0.05
+    idxs = np.arange(40)
+    dists = np.linalg.norm(model - scene, axis=-1)
+    mask_a = np.ones(40, bool)
+    mask_a[-5:] = False
+    out = str(tmp_path / "corr.png")
+    img = viz.plot_correspondences_bev(model, scene, idxs, dists,
+                                       mask_a=mask_a, path=out)
+    assert img.shape == (512, 512, 3)
+    assert img.sum() > 0
+    assert (tmp_path / "corr.png").exists()
+
+    # empty inputs must not crash (refinement can skip all points)
+    img0 = viz.plot_correspondences_bev(
+        np.zeros((0, 3)), np.zeros((0, 3)), np.zeros(0, int))
+    assert img0.sum() == 0
+
+
 def test_orbax_checkpoint_roundtrip(tmp_path):
     from sdflabel_tpu.engine import css_train
     from sdflabel_tpu.models import css as css_mod
