@@ -69,14 +69,28 @@ def _random_resized_crop_params(rng: random.Random, w: int, h: int,
 
 
 class Crops:
-    """Training crops dataset. `augment=False` gives deterministic resize."""
+    """Training crops dataset. `augment=False` gives deterministic resize.
+
+    With `seed` set, augmentation draws come from a per-(seed, epoch, idx)
+    RNG — independent of sample visit ORDER, so threaded prefetch,
+    shuffling, and checkpoint resume all see identical augmentations (the
+    reference's global-RNG draws are order-dependent; ours are a
+    reproducibility upgrade, see crops.py:61-70). Call `set_epoch(e)` to
+    advance the augmentation stream; with `seed=None` a process-local
+    stateful RNG is used (reference behavior).
+    """
 
     def __init__(self, path: str, augment: bool = True, seed: int | None = None):
         self.path = path
         self.augment = augment
+        self.seed = seed
+        self._epoch = 0
         self._rng = random.Random(seed)
         with open(os.path.join(path, "crops.json")) as f:
             self.gt = json.load(f)
+
+    def set_epoch(self, epoch: int) -> None:
+        self._epoch = epoch
 
     def __len__(self):
         return len(self.gt)
@@ -96,7 +110,9 @@ class Crops:
         intrinsics = np.array(gt_sample["intrinsics"], np.float32).reshape(3, 3)
 
         if self.augment:
-            rng = self._rng
+            # str seeds hash via sha512 in CPython — stable across runs
+            rng = (random.Random(f"{self.seed}/{self._epoch}/{idx}")
+                   if self.seed is not None else self._rng)
             rgb = _color_jitter(rgb, rng)
             # synchronized geometric augs (crops.py:46-70)
             angle = rng.uniform(-10, 10)
