@@ -158,6 +158,8 @@ class Detection3DEvaluator:
         compute_angular_metrics=True,
         compute_nuscenes=True,
         sample_points=41,
+        # Accepted for reference API parity but UNUSED — the reference
+        # stores and never reads it either (detection_3d.py:119,121).
         sampling_frequency=1,
     ):
         self.filter_data_fn = filter_data_fn

@@ -19,7 +19,10 @@ from sdflabel_tpu.eval.detection3d import (
     CoordinateFrame,
     Detection3DEvaluator,
     clean_kitti_data,
+    difficulty_by_distance,
 )
+
+FILTER_FNS = {"kitti": clean_kitti_data, "distance": difficulty_by_distance}
 
 
 def evaluate(cfgp, difficulties=(0, 1)):
@@ -45,9 +48,10 @@ def evaluate(cfgp, difficulties=(0, 1)):
         pred_annotations[frame_id] = estimations
 
     results = []
+    filter_fn = FILTER_FNS[cfg.eval_filter]
     for compute_nuscenes in (False, True):
         evaluator = Detection3DEvaluator(
-            clean_kitti_data, compute_nuscenes=compute_nuscenes,
+            filter_fn, compute_nuscenes=compute_nuscenes,
             coordinate_frame=CoordinateFrame.CAMERA,
         )
         formatted, result = evaluator.evaluate_detection_3d(
