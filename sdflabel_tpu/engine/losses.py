@@ -16,6 +16,8 @@ TPU design: both losses are fully jittable with static shapes.
 
 from __future__ import annotations
 
+import math
+
 import jax
 import jax.numpy as jnp
 
@@ -83,6 +85,7 @@ def loss_2d(
     diam: float = 5.0,
     threshold_nocs: float = 1.0,
     pixel_mask: jax.Array | None = None,
+    windowed: bool | None = None,
 ) -> jax.Array:
     """Projective NOCS loss (optimizer.py:200-237).
 
@@ -101,8 +104,23 @@ def loss_2d(
     padded pixels are excluded both as rendered pixels (r axis) and as
     CSS-disc candidates (p axis), making the masked square render exactly
     equivalent to the per-crop-size render.
+
+    windowed: None (auto: windowed for crops above 64x64), or force the
+    O(K^2 P) windowed formulation / the dense O(P^2) oracle. Both compute
+    the SAME function: the disc weight clamp(diam - |p - r|, 0) depends
+    only on the integer pixel offset p - r, so candidates outside the
+    (2R+1)^2 window all reduce to the same value ||rend[r]|| (their w is
+    0) — the windowed path enumerates in-disc offsets as shifted images
+    plus that single fallback candidate, removing the reference's O(P^2)
+    blow-up at demo scale (optimizer.py:215-219 materializes the full
+    pixel-distance matrix; at 200x100 that is 4e8 entries).
     """
     c, h, w = rendering_nocs.shape
+    if windowed is None:
+        windowed = h * w > 64 * 64
+    if windowed:
+        return _loss_2d_windowed(rendering_nocs, css_nocs, diam,
+                                 threshold_nocs, pixel_mask)
     p = h * w
     rend = rendering_nocs.reshape(c, p).T  # (P, 3)
     css = css_nocs.reshape(c, p).T  # (P, 3)
@@ -142,3 +160,75 @@ def loss_2d(
     mean = jnp.sum(jnp.where(sel, diff_min, 0.0)) / cnt  # NaN when cnt == 0
     any_nonzero = jnp.any(nonzero)
     return jnp.where(any_nonzero, mean, 0.0)
+
+
+def _loss_2d_windowed(
+    rendering_nocs: jax.Array,
+    css_nocs: jax.Array,
+    diam: float,
+    threshold_nocs: float,
+    pixel_mask: jax.Array | None,
+) -> jax.Array:
+    """Windowed loss_2d: identical values, O(K^2 P) memory (see loss_2d).
+
+    The dense candidate set {all valid p} splits into (a) p within the
+    integer offset disc dy^2+dx^2 < diam^2 of r — enumerated as shifted
+    copies of the CSS image with per-OFFSET constant weights — and (b)
+    every other p, whose weight is 0 and whose candidate value collapses
+    to ||rend[r]||; (b) participates iff at least one valid p has zero
+    weight, i.e. total_valid > (valid in-disc count at r).
+    """
+    c, h, w = rendering_nocs.shape
+    dt = rendering_nocs.dtype
+    radius = int(math.ceil(diam)) - 1
+    offsets = [
+        (dy, dx)
+        for dy in range(-radius, radius + 1)
+        for dx in range(-radius, radius + 1)
+        if dy * dy + dx * dx < diam * diam
+    ]
+    # identical weight arithmetic to the dense path: sqrt of an exact
+    # small-integer sum, so bit-equal to pairwise_sq_dists + sqrt
+    wgts = jnp.asarray(
+        [diam - math.sqrt(dy * dy + dx * dx) for dy, dx in offsets], dt)
+
+    valid = (jnp.ones((h, w), bool) if pixel_mask is None
+             else pixel_mask.reshape(h, w).astype(bool))
+    css_pad = jnp.pad(css_nocs, ((0, 0), (radius, radius), (radius, radius)))
+    val_pad = jnp.pad(valid, ((radius, radius), (radius, radius)))
+
+    css_sh = jnp.stack([
+        jax.lax.dynamic_slice(css_pad, (0, radius + dy, radius + dx),
+                              (c, h, w))
+        for dy, dx in offsets
+    ])  # (O, 3, H, W)
+    val_sh = jnp.stack([
+        jax.lax.dynamic_slice(val_pad, (radius + dy, radius + dx), (h, w))
+        for dy, dx in offsets
+    ])  # (O, H, W)
+
+    rend_sq = jnp.sum(rendering_nocs * rendering_nocs, axis=0)  # (H, W)
+    css_sq_sh = jnp.sum(css_sh * css_sh, axis=1)  # (O, H, W)
+    cross_sh = jnp.sum(css_sh * rendering_nocs[None], axis=1)  # (O, H, W)
+    wv = wgts[:, None, None]
+    diff_sq = wv * wv * css_sq_sh - 2.0 * wv * cross_sh + rend_sq[None]
+    diff_sq = jnp.where(val_sh, diff_sq, jnp.inf)
+    win_min_sq = jnp.min(diff_sq, axis=0)  # (H, W)
+
+    # fallback candidate ||rend[r]|| from any valid zero-weight p
+    total_valid = jnp.sum(valid)
+    in_disc_valid = jnp.sum(val_sh, axis=0)  # (H, W)
+    has_fallback = total_valid > in_disc_valid
+    fb_sq = jnp.where(has_fallback, rend_sq, jnp.inf)
+    min_sq = jnp.minimum(win_min_sq, fb_sq)
+
+    pos = (min_sq > 0) & jnp.isfinite(min_sq)
+    diff_min = jnp.where(
+        pos, jnp.sqrt(jnp.where(pos, min_sq, 1.0)),
+        jnp.where(jnp.isfinite(min_sq), 0.0, jnp.inf))
+
+    nonzero = (jnp.sum(rendering_nocs, axis=0) != 0) & valid
+    sel = nonzero & (diff_min < threshold_nocs)
+    cnt = jnp.sum(sel)
+    mean = jnp.sum(jnp.where(sel, diff_min, 0.0)) / cnt  # NaN when cnt == 0
+    return jnp.where(jnp.any(nonzero), mean, 0.0)

@@ -84,6 +84,7 @@ def make_sharded_refine_fn(
     mesh: Mesh,
     axis: str = "rays",
     use_fused: bool | None = None,
+    windowed_2d: bool | None = None,
 ):
     """Build the sharded refine function.
 
@@ -108,6 +109,11 @@ def make_sharded_refine_fn(
     n_dev = mesh.shape[axis]
     p_total = h * w
     p_pad = _round_up(p_total, n_dev)
+    # same auto rule as engine.losses.loss_2d: windowed above 64x64
+    # (always safe there: any such crop has far more pixels than the
+    # ~diam^2 disc, so the zero-weight fallback candidate always exists)
+    if windowed_2d is None:
+        windowed_2d = p_total > 64 * 64
 
     grid_np = np.asarray(grid_points, np.float32)
     n_grid = len(grid_np)
@@ -294,17 +300,56 @@ def make_sharded_refine_fn(
 
         # ---- 2D loss partials over the local pixel block ----
         nonzero = (jnp.sum(rend_block, -1) != 0) & pxv_block
-        d = jnp.sqrt(knn.pairwise_sq_dists(rc_block, css_flat[:, :2]))
-        wgt = jnp.maximum(cfg.loss2d_diam - d, 0.0)  # (P_blk, P_css)
-        css_rgb = css_flat[:, 2:5]
-        css_sq = jnp.sum(css_rgb * css_rgb, -1)
         rend_sq = jnp.sum(rend_block * rend_block, -1)
-        cross = rend_block @ css_rgb.T
-        diff_sq = wgt * wgt * css_sq[None, :] - 2.0 * wgt * cross \
-            + rend_sq[:, None]
-        pos = diff_sq > 0
-        diff = jnp.where(pos, jnp.sqrt(jnp.where(pos, diff_sq, 1.0)), 0.0)
-        diff_min = jnp.min(diff, axis=-1)
+        css_rgb = css_flat[:, 2:5]
+        if windowed_2d:
+            # Offset-window formulation (engine.losses._loss_2d_windowed,
+            # layout-agnostic variant): candidates for block pixel (r, c)
+            # are css pixels (r+dy, c+dx) over the in-disc offsets,
+            # gathered from the replicated row-major css_flat; every
+            # other pixel's candidate collapses to ||rend|| (weight 0),
+            # present here since any crop exceeds the disc. O(K^2 P_blk)
+            # per shard instead of (P_blk, P) = P^2/n.
+            import math as _math
+
+            radius = int(_math.ceil(cfg.loss2d_diam)) - 1
+            offs = [(dy, dx)
+                    for dy in range(-radius, radius + 1)
+                    for dx in range(-radius, radius + 1)
+                    if dy * dy + dx * dx < cfg.loss2d_diam ** 2]
+            wgts = jnp.asarray(
+                [cfg.loss2d_diam - _math.sqrt(dy * dy + dx * dx)
+                 for dy, dx in offs], rend_block.dtype)
+            rr = rc_block[:, 0].astype(jnp.int32)
+            cc = rc_block[:, 1].astype(jnp.int32)
+            dyx = jnp.asarray(offs, jnp.int32)  # (O, 2)
+            pr = rr[None, :] + dyx[:, 0:1]  # (O, P_blk)
+            pc = cc[None, :] + dyx[:, 1:2]
+            inb = (pr >= 0) & (pr < h) & (pc >= 0) & (pc < w) & \
+                pxv_block[None, :]
+            idx = jnp.clip(pr, 0, h - 1) * w + jnp.clip(pc, 0, w - 1)
+            cand = jnp.take(css_rgb, idx.reshape(-1), axis=0).reshape(
+                idx.shape + (3,))  # (O, P_blk, 3)
+            cand_sq = jnp.sum(cand * cand, -1)
+            cross_o = jnp.sum(cand * rend_block[None], -1)
+            wv = wgts[:, None]
+            dsq = wv * wv * cand_sq - 2.0 * wv * cross_o + rend_sq[None]
+            dsq = jnp.where(inb, dsq, jnp.inf)
+            min_sq = jnp.minimum(jnp.min(dsq, axis=0), rend_sq)
+            pos = (min_sq > 0) & jnp.isfinite(min_sq)
+            diff_min = jnp.where(
+                pos, jnp.sqrt(jnp.where(pos, min_sq, 1.0)), 0.0)
+        else:
+            d = jnp.sqrt(knn.pairwise_sq_dists(rc_block, css_flat[:, :2]))
+            wgt = jnp.maximum(cfg.loss2d_diam - d, 0.0)  # (P_blk, P_css)
+            css_sq = jnp.sum(css_rgb * css_rgb, -1)
+            cross = rend_block @ css_rgb.T
+            diff_sq = wgt * wgt * css_sq[None, :] - 2.0 * wgt * cross \
+                + rend_sq[:, None]
+            pos = diff_sq > 0
+            diff = jnp.where(pos, jnp.sqrt(jnp.where(pos, diff_sq, 1.0)),
+                             0.0)
+            diff_min = jnp.min(diff, axis=-1)
         sel2 = nonzero & (diff_min < cfg.loss2d_threshold)
         l2_sum = jnp.sum(jnp.where(sel2, diff_min, 0.0))
         l2_cnt = jnp.sum(sel2)

@@ -210,3 +210,24 @@ def test_sharded_refine_converges(problem):
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0]
     assert abs(float(final.scale[0]) - 2.0) < 0.08
+
+
+def test_sharded_windowed_2d_matches_dense(problem):
+    """windowed_2d (offset-window gather) reproduces the dense sharded 2D
+    loss trajectory (see parallel/sharded_refine.py windowed branch)."""
+    (decoder, cfg, grid_pts, K, crop_hw, nocs, frustum, fmask,
+     init) = problem
+    cfg = refine_mod.RefineConfig(iters=4, surface_capacity=1024)
+    mesh = mesh_mod.make_mesh(n_data=1, n_rays=8)
+    dense_fn = sharded_refine.make_sharded_refine_fn(
+        decoder, cfg, np.asarray(grid_pts), K, crop_hw, mesh, axis="rays",
+        windowed_2d=False)
+    win_fn = sharded_refine.make_sharded_refine_fn(
+        decoder, cfg, np.asarray(grid_pts), K, crop_hw, mesh, axis="rays",
+        windowed_2d=True)
+    final_d, hist_d = dense_fn(init, nocs, frustum, fmask)
+    final_w, hist_w = win_fn(init, nocs, frustum, fmask)
+    np.testing.assert_allclose(np.asarray(hist_w), np.asarray(hist_d),
+                               rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(final_w.trans),
+                               np.asarray(final_d.trans), atol=1e-5)
