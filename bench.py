@@ -105,6 +105,72 @@ def bench_ours():
     return iters_per_sec * CROP * CROP, iters_per_sec
 
 
+V5E_BF16_PEAK_TFLOPS = 197.0  # public v5e spec (bf16 MXU peak per chip)
+
+
+def flops_per_iteration():
+    """Exact FLOPs of ONE refinement iteration from XLA's cost analysis.
+
+    The program is lowered for CPU (identical HLO math; no TPU compile
+    burned) with iters=1; XLA counts a lax.scan body ONCE regardless of
+    trip count (measured: iters=1 vs iters=2 differ by <0.005%), so the
+    reported total IS the per-iteration cost — dominated by the stage-1
+    selection decode (2 * 1.84M MLP params * 64k grid points = 235 GFLOP
+    of the ~281 GFLOP body; see BENCH_NOTES.md budget).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from sdflabel_tpu.engine import refine as refine_mod
+    from sdflabel_tpu.models import deepsdf
+    from sdflabel_tpu.ops import grid as grid_ops
+    from sdflabel_tpu.renderer import rasterer as rast_mod
+
+    cfg = deepsdf.DeepSDFConfig(
+        latent_size=LATENT, dims=(DIMS,) * LAYERS,
+        norm_layers=tuple(range(LAYERS)), latent_in=(LAYERS // 2,),
+        weight_norm=True,
+    )
+    params = deepsdf.init_params(cfg, jax.random.PRNGKey(0))
+    decoder = deepsdf.sdf_fn(cfg, params)
+    grid_pts = grid_ops.generate_point_grid(GRID_DENSITY)
+    rcfg = refine_mod.RefineConfig(iters=1, surface_capacity=CAPACITY)
+    K = jnp.asarray(rast_mod.calibration_matrix((CROP, CROP)))
+    fn = jax.jit(
+        refine_mod.make_refine_fn(decoder, rcfg, grid_pts, K,
+                                  (CROP, CROP)),
+    )
+    rng = np.random.RandomState(0)
+    p0 = refine_mod.init_refine_params(0.3, [0.0, 0.0, 4.0], 2.0,
+                                       [1.0, 0.0, 0.0])
+    nocs = jnp.asarray(rng.rand(3, CROP, CROP), jnp.float32)
+    frustum = jnp.asarray(rng.randn(FRUSTUM, 3) + [0, 0, 4.0],
+                          jnp.float32)
+    fmask = jnp.ones((FRUSTUM,), bool)
+    ca = fn.lower(p0, nocs, frustum, fmask).compile().cost_analysis()
+    ca = ca[0] if isinstance(ca, list) else ca
+    return float(ca["flops"])
+
+
+def flops_per_iteration_subprocess(timeout=420):
+    """Run flops_per_iteration in a CPU-forced child process (this process
+    holds the axon TPU backend and cannot switch platforms)."""
+    import subprocess
+
+    code = (
+        "import jax; jax.config.update('jax_platforms','cpu');"
+        "import sys; sys.path.insert(0, %r);"
+        "import bench; print('FLOPS', bench.flops_per_iteration())"
+        % REPO
+    )
+    out = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                         text=True, timeout=timeout)
+    for line in out.stdout.splitlines():
+        if line.startswith("FLOPS "):
+            return float(line.split()[1])
+    raise RuntimeError(out.stderr[-500:])
+
+
 def bench_reference(max_seconds=120.0):
     """One reference refinement iteration (torch CPU), same scale.
 
@@ -179,6 +245,26 @@ import os  # noqa: E402  (used in bench_reference)
 
 def main():
     rays_per_sec, iters_per_sec = bench_ours()
+
+    # Speed-of-light accounting (the actionable number): achieved FLOP/s
+    # of the iteration vs the chip's bf16 MXU peak. The torch-CPU ratio is
+    # kept as a secondary context field only.
+    try:
+        print("# computing XLA cost analysis (CPU lowering)...",
+              file=sys.stderr, flush=True)
+        flops_iter = flops_per_iteration_subprocess()
+    except Exception as e:  # never fail the bench on accounting
+        print(f"# cost analysis failed: {type(e).__name__}: {e}",
+              file=sys.stderr)
+        flops_iter = None
+    achieved_tflops = (
+        flops_iter * iters_per_sec / 1e12 if flops_iter else None
+    )
+    pct_peak = (
+        100.0 * achieved_tflops / V5E_BF16_PEAK_TFLOPS
+        if achieved_tflops else None
+    )
+
     ref_rays = bench_reference()
     vs = rays_per_sec / ref_rays if ref_rays else 0.0
     print(json.dumps({
@@ -186,6 +272,13 @@ def main():
         "value": round(rays_per_sec, 1),
         "unit": "rays/s/chip (32x32 render, full refine iter fwd+bwd)",
         "vs_baseline": round(vs, 2),
+        "iters_per_s": round(iters_per_sec, 2),
+        "flops_per_iter": flops_iter,
+        "achieved_tflops": (round(achieved_tflops, 2)
+                            if achieved_tflops else None),
+        "pct_peak_bf16": round(pct_peak, 1) if pct_peak else None,
+        "peak_tflops_ref": V5E_BF16_PEAK_TFLOPS,
+        "vs_torch_cpu": round(vs, 2),
     }))
 
 
