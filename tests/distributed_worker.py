@@ -1,0 +1,111 @@
+"""Worker process for the multi-process jax.distributed test.
+
+Invoked by tests/test_distributed.py as
+    python distributed_worker.py <coordinator> <num_procs> <pid> <outdir>
+
+Each worker joins the cluster via parallel.mesh.initialize_distributed
+(the reference's mpirun-analog, rotate_iou.py:10-14), then exercises the
+two multi-host paths end to end:
+
+  (a) a data-parallel CSS train step over the GLOBAL mesh — the batch is
+      sharded across processes with make_array_from_process_local_data
+      and the gradient all-reduce crosses the process boundary (gloo CPU
+      collectives stand in for DCN);
+  (b) process_frame_subset partitioning with idempotent per-frame dumps
+      to a shared directory (refine_css.py:68-70 semantics).
+
+Results are written as JSON for the parent test to validate.
+"""
+
+import json
+import os
+import pickle
+import sys
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=2"
+    ).strip()
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+
+def main():
+    coord, nprocs, pid, outdir = (
+        sys.argv[1], int(sys.argv[2]), int(sys.argv[3]), sys.argv[4])
+
+    from sdflabel_tpu.parallel import mesh as mesh_mod
+
+    mesh_mod.initialize_distributed(coord, nprocs, pid)
+    assert jax.process_count() == nprocs, (
+        f"jax.distributed did not come up: process_count="
+        f"{jax.process_count()} != {nprocs}")
+    assert jax.process_index() == pid
+
+    import numpy as np
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from sdflabel_tpu.engine import css_train
+    from sdflabel_tpu.models import css as css_mod
+
+    # ---- (a) cross-process data-parallel CSS train step ----------------
+    mesh = mesh_mod.make_mesh()  # 'data' spans all global devices
+    n_global = len(jax.devices())
+    n_local = len(jax.local_devices())
+
+    model = css_mod.CSSNet(use_running_average=False, width=8)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 3, 64, 64)))
+    state = css_train.init_train_state(
+        {"params": variables["params"],
+         "batch_stats": variables["batch_stats"]}, 1e-3)
+    step = css_train.shard_train_step(
+        css_train.make_train_step(1e-3, model=model), mesh)
+
+    rng = np.random.RandomState(0)  # same GLOBAL batch on every process
+    batch_np = {
+        "rgb": rng.rand(n_global, 3, 64, 64).astype(np.float32),
+        "uvw": rng.randint(0, 256, (n_global, 3, 64, 64)),
+        "mask": rng.randint(0, 2, (n_global, 64, 64)),
+        "latent": rng.randn(n_global, 3).astype(np.float32),
+    }
+    sharded = NamedSharding(mesh, P("data"))
+    lo, hi = pid * n_local, (pid + 1) * n_local
+    batch = {
+        k: jax.make_array_from_process_local_data(sharded, v[lo:hi])
+        for k, v in batch_np.items()
+    }
+    losses = []
+    for _ in range(2):
+        state, metrics = step(state, batch)
+        losses.append(float(metrics["loss"]))
+
+    # ---- (b) frame partition + idempotent dumps ------------------------
+    frames = list(mesh_mod.process_frame_subset(7))
+    for i in frames:
+        path = os.path.join(outdir, f"frame_{i:03d}.pkl")
+        if os.path.exists(path):  # idempotency: never rewrite
+            continue
+        with open(path, "wb") as f:
+            pickle.dump({"frame": i, "writer": pid}, f)
+
+    with open(os.path.join(outdir, f"worker_{pid}.json"), "w") as f:
+        json.dump({
+            "process_count": jax.process_count(),
+            "global_devices": n_global,
+            "local_devices": n_local,
+            "losses": losses,
+            "frames": frames,
+        }, f)
+    print(f"worker {pid} done: losses={losses} frames={frames}")
+
+
+if __name__ == "__main__":
+    main()
