@@ -43,6 +43,11 @@ CROP = 32
 FRUSTUM = 4096
 DIMS, LAYERS, LATENT = 512, 8, 3
 SCAN_ITERS = 30
+# BENCH_SELECT_BF16=1: hybrid precision variant — bf16 band-selection
+# decode (deepsdf.select_sdf_fn) + exact fp32 stage-2 re-decode. Same
+# rays/s metric; surface values stay fp32-exact by construction.
+SELECT_BF16 = bool(int(__import__("os").environ.get("BENCH_SELECT_BF16",
+                                                    "0")))
 
 
 def build_ours():
@@ -61,12 +66,14 @@ def build_ours():
     )
     params = deepsdf.init_params(cfg, jax.random.PRNGKey(0))
     decoder = deepsdf.sdf_fn(cfg, params)
+    select = deepsdf.select_sdf_fn(cfg, params) if SELECT_BF16 else None
     grid_pts = grid_ops.generate_point_grid(GRID_DENSITY)
     rcfg = refine_mod.RefineConfig(iters=SCAN_ITERS,
                                    surface_capacity=CAPACITY)
     K = jnp.asarray(rast_mod.calibration_matrix((CROP, CROP)))
     refine_fn = jax.jit(
-        refine_mod.make_refine_fn(decoder, rcfg, grid_pts, K, (CROP, CROP))
+        refine_mod.make_refine_fn(decoder, rcfg, grid_pts, K, (CROP, CROP),
+                                  select_decoder=select)
     )
 
     rng = np.random.RandomState(0)

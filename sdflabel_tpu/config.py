@@ -77,6 +77,13 @@ class RefineCfg:
     coarse_cells: int = 0
     pose_estimator: str = "kabsch"
     precision: str = "float16"
+    # Hybrid precision for the refinement surface decode (TPU extension):
+    # run the non-differentiable band-SELECTION decode in bf16 (halved
+    # stage-1 activation traffic) while the K selected points are
+    # re-decoded exactly at `precision`. Only meaningful when precision is
+    # float32 — under the default float16->bf16 map the whole decoder is
+    # already bf16. See deepsdf.select_sdf_fn / grid.surface_from_decoder.
+    select_bf16: bool = False
     viz_type: str = "none"
     weight_2d: float = 0.3
     weight_3d: float = 0.5
@@ -109,6 +116,9 @@ class RefineCfg:
                 cfgp, "optimization", "pose_estimator", cls.pose_estimator
             ),
             precision=read_cfg_string(cfgp, "optimization", "precision", cls.precision),
+            select_bf16=read_cfg_bool(
+                cfgp, "optimization", "select_bf16", cls.select_bf16
+            ),
             viz_type=read_cfg_string(cfgp, "visualization", "viz_type", cls.viz_type),
             weight_2d=read_cfg_float(cfgp, "losses", "2d_weight", cls.weight_2d),
             weight_3d=read_cfg_float(cfgp, "losses", "3d_weight", cls.weight_3d),

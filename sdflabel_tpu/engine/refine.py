@@ -107,12 +107,18 @@ def make_refine_fn(
     grid_points: jax.Array,
     K: jax.Array,
     crop_hw: tuple[int, int],
+    select_decoder=None,
 ):
     """Build the jit-compiled refinement function for a fixed crop geometry.
 
     Args:
       sdf_decoder: fn(latent, points) -> (N,) sdf — e.g.
         deepsdf.sdf_fn(dsdf_cfg, dsdf_params), or any differentiable SDF.
+      select_decoder: optional cheaper decoder (e.g.
+        deepsdf.select_sdf_fn's bf16 twin) used ONLY for the
+        non-differentiable band-selection pass each iteration; the K
+        selected points are still decoded by `sdf_decoder` exactly. See
+        grid.surface_from_decoder(select_decoder_fn=...).
 
     Returns refine(params0, nocs_target, frustum_pts, frustum_mask)
       -> (final RefineParams, RefineStepOut history over iters).
@@ -142,6 +148,7 @@ def make_refine_fn(
             sdf_decoder, latent, grid_points,
             capacity=cfg.surface_capacity, threshold=cfg.surface_threshold,
             coarse_cells=cfg.coarse_cells, coarse_factor=cfg.coarse_factor,
+            select_decoder_fn=select_decoder,
         )
 
         rendering, points = rast_mod.render(

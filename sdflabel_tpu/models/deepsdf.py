@@ -225,6 +225,63 @@ def sdf_fn(cfg: DeepSDFConfig, params: dict):
     return fn
 
 
+def fold_weight_norm(params: dict) -> dict:
+    """Fold the weight-norm parameterization into plain weights.
+
+    Replaces every {'v','g','b'} linear with {'w': v * g/||v||_col, 'b'}
+    (the exact tensor _linear computes each call). Inference-only helper:
+    the folded pytree is no longer trainable under weight-norm geometry,
+    but forward values are identical and each decode saves the per-call
+    norm+scale work.
+    """
+
+    def fold(p):
+        if isinstance(p, dict) and "v" in p:
+            v = p["v"]
+            return {"w": v * (p["g"] / jnp.linalg.norm(v, axis=0))[None, :],
+                    "b": p["b"]}
+        return p
+
+    return {
+        k: ([fold(p) for p in v] if isinstance(v, list) else fold(v))
+        for k, v in params.items()
+    }
+
+
+def cast_params(params: dict, dtype=jnp.bfloat16) -> dict:
+    """Cast every floating-point leaf of a parameter pytree to `dtype`."""
+    return jax.tree.map(
+        lambda x: x.astype(dtype) if jnp.issubdtype(x.dtype, jnp.inexact)
+        else x,
+        params,
+    )
+
+
+def select_sdf_fn(cfg: DeepSDFConfig, params: dict, dtype=jnp.bfloat16):
+    """Low-precision decoder for isosurface band SELECTION only.
+
+    Weight-norm is folded in fp32 first (so the cast loses one rounding, not
+    a bf16 norm/ratio chain), every parameter is cast to `dtype`, and the
+    returned fn casts latent/points to `dtype` so the whole MLP — matmuls
+    AND element-wise tail — runs in low precision, halving the stage-1
+    activation traffic. Selection needs only the RANKING of |sdf|
+    (ops.grid.surface_from_decoder's select_decoder_fn contract); every
+    selected point is re-decoded by the exact decoder in stage 2, so
+    surface values/normals/mask stay exact. Returns fp32 sdf values (the
+    cast back is free relative to the matmul chain) so top-k tie behavior
+    is unchanged downstream.
+    """
+    lowp = cast_params(fold_weight_norm(params), dtype)
+    base = sdf_fn(cfg, lowp)
+
+    def fn(latent, points):
+        return base(latent.astype(dtype), points.astype(dtype)).astype(
+            jnp.float32
+        )
+
+    return fn
+
+
 # ---------------------------------------------------------------------------
 # PyTorch checkpoint import (workspace.py:167-188 conventions)
 # ---------------------------------------------------------------------------

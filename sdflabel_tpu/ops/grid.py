@@ -130,6 +130,7 @@ def surface_from_decoder(
     two_stage: bool = True,
     coarse_cells: int | None = None,
     coarse_factor: int = 2,
+    select_decoder_fn=None,
 ) -> tuple[SurfacePoints, jax.Array]:
     """Decode SDF on `points` and isosurface-project in one jittable call.
 
@@ -161,14 +162,26 @@ def surface_from_decoder(
     is an approximation the reference has no analogue of, so it is OFF by
     default.
 
+    select_decoder_fn (opt-in, requires two_stage): a cheaper decoder used
+    ONLY for the non-differentiable selection passes (stage 0 cells and
+    the stage-1 band top-k) — typically the same MLP with bf16-cast
+    parameters (models.deepsdf.cast_params). Selection needs only the
+    RANKING of |sdf|; every selected point is re-decoded by the exact
+    `decoder_fn` in stage 2, so surface values/normals/mask are exact.
+    Borderline band membership may differ by low-precision rank swaps
+    (same contract class as coarse_cells). OFF by default.
+
     Returns (surface_points, sdf_grid) — sdf_grid is the full-grid decode
     (stop-gradded under two_stage; callers use it diagnostically). Under
     coarse_cells, sdf_grid covers only the candidate subset
-    (coarse_cells * coarse_factor^3 values, cell-major order).
+    (coarse_cells * coarse_factor^3 values, cell-major order). Under
+    select_decoder_fn it carries that decoder's (low-precision) values.
     """
     if not two_stage:
         if coarse_cells is not None:
             raise ValueError("coarse_cells requires two_stage=True")
+        if select_decoder_fn is not None:
+            raise ValueError("select_decoder_fn requires two_stage=True")
         sdf, vjp_fn = jax.vjp(
             lambda p: decoder_fn(latent, p).reshape(-1), points
         )
@@ -180,6 +193,8 @@ def surface_from_decoder(
         grads = jax.lax.stop_gradient(grads)
         surf = isosurface_project(points, sdf, grads, capacity, threshold)
         return surf, sdf
+
+    sel_fn = select_decoder_fn if select_decoder_fn is not None else decoder_fn
 
     # --- stage 0 (optional): coarse cell selection ---
     if coarse_cells is not None:
@@ -195,13 +210,13 @@ def surface_from_decoder(
                 f"{coarse_cells}*{children.shape[1]}"
             )
         reps = jnp.take(points, children[:, 0], axis=0)
-        sdf_rep = jax.lax.stop_gradient(decoder_fn(latent, reps).reshape(-1))
+        sdf_rep = jax.lax.stop_gradient(sel_fn(latent, reps).reshape(-1))
         _, cell_idx = jax.lax.top_k(-jnp.abs(sdf_rep), coarse_cells)
         cand_idx = jnp.take(children, cell_idx, axis=0).reshape(-1)
         points = jnp.take(points, cand_idx, axis=0)
 
     # --- stage 1: selection only (no gradients) ---
-    sdf_all = jax.lax.stop_gradient(decoder_fn(latent, points).reshape(-1))
+    sdf_all = jax.lax.stop_gradient(sel_fn(latent, points).reshape(-1))
     neg_abs, idx = jax.lax.top_k(-jnp.abs(sdf_all), capacity)
     pts_sel = jnp.take(points, idx, axis=0)
 

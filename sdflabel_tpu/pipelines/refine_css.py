@@ -102,6 +102,16 @@ class RefineRuntime:
             self.decoder = decoder
         else:
             self.decoder = base_decoder
+        # Hybrid selection precision ([optimization] select_bf16): bf16
+        # band-selection decode + exact stage-2 re-decode. Only wired when
+        # the main decoder is fp32 — under the default float16->bf16 map the
+        # selection pass is already low-precision.
+        self.select_decoder = None
+        if (getattr(cfg, "select_bf16", False)
+                and self.compute_dtype == jnp.float32):
+            self.select_decoder = deepsdf.select_sdf_fn(
+                dsdf_cfg, dsdf_params
+            )
         self.grid_points = grid_ops.generate_point_grid(cfg.grid_density)
         self.surface_capacity = (
             surface_capacity if surface_capacity is not None
@@ -174,7 +184,8 @@ class RefineRuntime:
 
             def fn(params0, K_arr, nocs, fr, fm):
                 return refine_mod.make_refine_fn(
-                    self.decoder, rcfg, self.grid_points, K_arr, crop_hw
+                    self.decoder, rcfg, self.grid_points, K_arr, crop_hw,
+                    select_decoder=self.select_decoder,
                 )(params0, nocs, fr, fm)
 
             self._refine_cache[key] = jax.jit(fn)

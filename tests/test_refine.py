@@ -222,6 +222,22 @@ def test_refinement_converges_on_synthetic_crop():
     np.testing.assert_allclose(np.asarray(f_c2f.trans),
                                np.asarray(f_ref.trans), atol=1e-5)
 
+    # Hybrid bf16 selection decode (opt-in) also follows the same
+    # trajectory: the sphere band's |sdf| margins dwarf bf16 eps, so the
+    # selected set is identical and stage 2 re-decodes it exactly.
+    def select_dec(latent, p):
+        return decoder(latent.astype(jnp.bfloat16),
+                       p.astype(jnp.bfloat16)).astype(jnp.float32)
+
+    fn_sel = jax.jit(refine.make_refine_fn(decoder, cfg_ref, grid_pts, K,
+                                           crop_hw,
+                                           select_decoder=select_dec))
+    f_sel, h_sel = fn_sel(*args)
+    np.testing.assert_allclose(np.asarray(h_sel.loss), np.asarray(h_ref.loss),
+                               rtol=2e-3)
+    np.testing.assert_allclose(np.asarray(f_sel.trans),
+                               np.asarray(f_ref.trans), atol=1e-4)
+
 
 def test_loss_2d_windowed_matches_dense():
     """The O(K^2 P) windowed formulation equals the dense O(P^2) oracle in
