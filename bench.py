@@ -48,6 +48,11 @@ SCAN_ITERS = 30
 # rays/s metric; surface values stay fp32-exact by construction.
 SELECT_BF16 = bool(int(__import__("os").environ.get("BENCH_SELECT_BF16",
                                                     "0")))
+# BENCH_WARM_BAND=N: warm-started band selection variant — full-grid
+# candidate refresh every BENCH_WARM_REFRESH iters, selection on the
+# N-point candidate set in between (engine.refine warm_band knob).
+WARM_BAND = int(__import__("os").environ.get("BENCH_WARM_BAND", "0"))
+WARM_REFRESH = int(__import__("os").environ.get("BENCH_WARM_REFRESH", "10"))
 
 
 def build_ours():
@@ -69,7 +74,9 @@ def build_ours():
     select = deepsdf.select_sdf_fn(cfg, params) if SELECT_BF16 else None
     grid_pts = grid_ops.generate_point_grid(GRID_DENSITY)
     rcfg = refine_mod.RefineConfig(iters=SCAN_ITERS,
-                                   surface_capacity=CAPACITY)
+                                   surface_capacity=CAPACITY,
+                                   warm_band=WARM_BAND,
+                                   warm_refresh=WARM_REFRESH)
     K = jnp.asarray(rast_mod.calibration_matrix((CROP, CROP)))
     refine_fn = jax.jit(
         refine_mod.make_refine_fn(decoder, rcfg, grid_pts, K, (CROP, CROP),

@@ -84,6 +84,12 @@ class RefineCfg:
     # float32 — under the default float16->bf16 map the whole decoder is
     # already bf16. See deepsdf.select_sdf_fn / grid.surface_from_decoder.
     select_bf16: bool = False
+    # Warm-started band selection (TPU extension, engine.refine): full-grid
+    # candidate refresh every `warm_refresh` iterations, band top-k on the
+    # `warm_band`-point candidate set in between. 0 = off (exact full-grid
+    # selection each iteration, reference semantics).
+    warm_band: int = 0
+    warm_refresh: int = 10
     viz_type: str = "none"
     weight_2d: float = 0.3
     weight_3d: float = 0.5
@@ -118,6 +124,12 @@ class RefineCfg:
             precision=read_cfg_string(cfgp, "optimization", "precision", cls.precision),
             select_bf16=read_cfg_bool(
                 cfgp, "optimization", "select_bf16", cls.select_bf16
+            ),
+            warm_band=read_cfg_int(
+                cfgp, "optimization", "warm_band", cls.warm_band
+            ),
+            warm_refresh=read_cfg_int(
+                cfgp, "optimization", "warm_refresh", cls.warm_refresh
             ),
             viz_type=read_cfg_string(cfgp, "visualization", "viz_type", cls.viz_type),
             weight_2d=read_cfg_float(cfgp, "losses", "2d_weight", cls.weight_2d),

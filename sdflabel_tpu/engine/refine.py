@@ -48,6 +48,16 @@ class RefineConfig:
     # fits in the cell budget; ~2-4x less decode FLOPs per iteration.
     coarse_cells: int | None = None
     coarse_factor: int = 2
+    # Opt-in warm-started band selection (see grid.surface_from_candidates):
+    # every `warm_refresh` iterations the FULL grid is scanned for the
+    # `warm_band` smallest-|sdf| candidate points; in between, band top-k
+    # runs only on that candidate set. The band depends solely on the
+    # latent code (lr 3e-5), so inter-refresh drift is ~1e-4 latent units —
+    # selected points are always exactly decoded and the validity mask
+    # never admits an out-of-band point. warm_band=0 disables (exact
+    # full-grid selection each iteration, the reference's semantics).
+    warm_band: int = 0
+    warm_refresh: int = 10
     loss3d_threshold: float = 0.2  # optimizer.py:166
     loss2d_diam: float = 5.0  # optimizer.py:200
     loss2d_threshold: float = 1.0  # optimizer.py:200
@@ -130,26 +140,49 @@ def make_refine_fn(
     """
     h, w = crop_hw
     opt = make_optimizer(cfg)
+    use_warm = cfg.warm_band > 0
+    if use_warm:
+        if cfg.warm_band < cfg.surface_capacity:
+            raise ValueError(
+                f"warm_band {cfg.warm_band} must be >= surface_capacity "
+                f"{cfg.surface_capacity}")
+        if cfg.coarse_cells is not None:
+            raise ValueError(
+                "warm_band and coarse_cells are alternative selection "
+                "accelerations; enable at most one")
+
+    def _normalize_latent(latent):
+        # F.normalize to the sphere (optimizer.py:96): x / clamp(||x||, 1e-12).
+        # sqrt(max(n2, eps^2)) == clamp(norm, eps) with a NaN-free gradient
+        # at the zero vector.
+        n2 = jnp.sum(jnp.square(latent))
+        return latent / jnp.sqrt(jnp.maximum(n2, 1e-24))
 
     def iteration(params: RefineParams, nocs_target, frustum_pts,
-                  frustum_mask, pixel_mask):
+                  frustum_mask, pixel_mask, cand_idx):
         # Scene / scale — scale gradient flows via the scene (optimizer.py:84)
         scene = frustum_pts / params.scale.reshape(())
 
         pose = build_render_pose(params.yaw, params.trans)
 
-        # F.normalize to the sphere (optimizer.py:96): x / clamp(||x||, 1e-12).
-        # sqrt(max(n2, eps^2)) == clamp(norm, eps) with a NaN-free gradient
-        # at the zero vector.
-        n2 = jnp.sum(jnp.square(params.latent))
-        latent = params.latent / jnp.sqrt(jnp.maximum(n2, 1e-24))
+        latent = _normalize_latent(params.latent)
 
-        surf, _sdf = grid_ops.surface_from_decoder(
-            sdf_decoder, latent, grid_points,
-            capacity=cfg.surface_capacity, threshold=cfg.surface_threshold,
-            coarse_cells=cfg.coarse_cells, coarse_factor=cfg.coarse_factor,
-            select_decoder_fn=select_decoder,
-        )
+        if use_warm:
+            surf = grid_ops.surface_from_candidates(
+                sdf_decoder, latent, grid_points, cand_idx,
+                capacity=cfg.surface_capacity,
+                threshold=cfg.surface_threshold,
+                select_decoder_fn=select_decoder,
+            )
+        else:
+            surf, _sdf = grid_ops.surface_from_decoder(
+                sdf_decoder, latent, grid_points,
+                capacity=cfg.surface_capacity,
+                threshold=cfg.surface_threshold,
+                coarse_cells=cfg.coarse_cells,
+                coarse_factor=cfg.coarse_factor,
+                select_decoder_fn=select_decoder,
+            )
 
         rendering, points = rast_mod.render(
             K, (w, h), surf.points, surf.normals, surf.normals, pose,
@@ -168,11 +201,26 @@ def make_refine_fn(
         )
         return cfg.weight_3d * l3d + cfg.weight_2d * l2d, (l2d, l3d)
 
-    def step(carry, _):
+    def step(carry, it):
         (params, opt_state, nocs_target, frustum_pts, frustum_mask,
-         pixel_mask) = carry
+         pixel_mask, cand_idx) = carry
+        if use_warm:
+            # Candidate refresh is selection-only (non-differentiable, like
+            # stage 1), so it runs OUTSIDE value_and_grad on the current
+            # latent. lax.cond executes only the taken branch: the full-grid
+            # decode cost is paid once per warm_refresh iterations.
+            latent = _normalize_latent(jax.lax.stop_gradient(params.latent))
+            sel = select_decoder if select_decoder is not None else sdf_decoder
+            cand_idx = jax.lax.cond(
+                it % cfg.warm_refresh == 0,
+                lambda c: grid_ops.band_candidates(
+                    sel, latent, grid_points, cfg.warm_band),
+                lambda c: c,
+                cand_idx,
+            )
         (loss, (l2d, l3d)), grads = jax.value_and_grad(iteration, has_aux=True)(
-            params, nocs_target, frustum_pts, frustum_mask, pixel_mask
+            params, nocs_target, frustum_pts, frustum_mask, pixel_mask,
+            cand_idx
         )
         # NaN / zero-loss guard (optimizer.py:149-151): skip the update.
         ok = jnp.isfinite(loss) & (loss != 0.0)
@@ -190,16 +238,20 @@ def make_refine_fn(
         out = RefineStepOut(loss=loss, loss_2d=l2d, loss_3d=l3d, applied=ok,
                             params=params)
         return (new_params, new_opt_state, nocs_target, frustum_pts,
-                frustum_mask, pixel_mask), out
+                frustum_mask, pixel_mask, cand_idx), out
 
     def refine(params0: RefineParams, nocs_target, frustum_pts, frustum_mask,
                pixel_mask=None):
         if pixel_mask is None:
             pixel_mask = jnp.ones((h, w), bool)
         opt_state = opt.init(params0)
+        # Warm-band carry: iteration 0 always refreshes (0 % warm_refresh
+        # == 0), so the zero init is never consumed.
+        cand_idx = (jnp.zeros((cfg.warm_band,), jnp.int32) if use_warm
+                    else jnp.zeros((0,), jnp.int32))
         carry = (params0, opt_state, nocs_target, frustum_pts, frustum_mask,
-                 pixel_mask)
-        carry, hist = jax.lax.scan(step, carry, None, length=cfg.iters)
+                 pixel_mask, cand_idx)
+        carry, hist = jax.lax.scan(step, carry, jnp.arange(cfg.iters))
         return carry[0], hist
 
     return refine

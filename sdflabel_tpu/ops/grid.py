@@ -238,3 +238,67 @@ def surface_from_decoder(
         mask=mask,
     )
     return surf, sdf_all
+
+
+def surface_from_candidates(
+    decoder_fn,
+    latent: jax.Array,
+    points: jax.Array,
+    cand_idx: jax.Array,
+    capacity: int,
+    threshold: float = 0.03,
+    select_decoder_fn=None,
+) -> SurfacePoints:
+    """Two-stage surface decode restricted to a candidate index set.
+
+    The warm-started-band primitive: instead of scanning the full grid for
+    the |sdf| < threshold band, decode only `points[cand_idx]` (stage 1,
+    no gradients), top-k the `capacity` smallest |sdf| among them, and run
+    the exact differentiable stage-2 decode on those — identical to
+    surface_from_decoder's stage 2. With cand_idx = arange(N) this IS the
+    full two-stage pass. With cand_idx = the previous iteration's
+    candidate set it is exact whenever the band still lies inside the
+    candidates; selected points are always exactly decoded and the
+    validity mask never admits an out-of-band point, so staleness can only
+    MISS band points, never corrupt them. (In the refinement loop the band
+    depends only on the latent code — lr 3e-5, optimizer.py:38 — so the
+    drift per iteration is ~1e-4 latent units; callers refresh the
+    candidate set periodically via surface_from_decoder.)
+    """
+    sel_fn = select_decoder_fn if select_decoder_fn is not None else decoder_fn
+    pts_cand = jnp.take(points, cand_idx, axis=0)
+    sdf_cand = jax.lax.stop_gradient(sel_fn(latent, pts_cand).reshape(-1))
+    _, k_idx = jax.lax.top_k(-jnp.abs(sdf_cand), capacity)
+    pts_sel = jnp.take(pts_cand, k_idx, axis=0)
+
+    sdf_sel, vjp_fn = jax.vjp(
+        lambda p: decoder_fn(latent, p).reshape(-1), pts_sel
+    )
+    (grads,) = vjp_fn(jnp.ones_like(sdf_sel))
+    grads = jax.lax.stop_gradient(grads)
+
+    norm = jnp.linalg.norm(grads, axis=-1, keepdims=True)
+    normals_unit = grads / jnp.maximum(norm, jnp.finfo(grads.dtype).tiny)
+    projected = pts_sel - sdf_sel[:, None] * normals_unit
+    mask = jnp.abs(sdf_sel) < threshold
+    return SurfacePoints(
+        points=projected,
+        nocs=(projected + 1.0) / 2.0,
+        normals=normals_unit,
+        mask=mask,
+    )
+
+
+def band_candidates(
+    decoder_fn,
+    latent: jax.Array,
+    points: jax.Array,
+    n_candidates: int,
+) -> jax.Array:
+    """Full-grid selection pass returning the `n_candidates` indices with
+    smallest |sdf| — the refresh step for warm-started band selection.
+    Non-differentiable by construction (selection indices carry no
+    gradient, exactly like surface_from_decoder's stage 1)."""
+    sdf_all = jax.lax.stop_gradient(decoder_fn(latent, points).reshape(-1))
+    _, idx = jax.lax.top_k(-jnp.abs(sdf_all), n_candidates)
+    return idx

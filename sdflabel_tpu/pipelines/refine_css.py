@@ -180,6 +180,8 @@ class RefineRuntime:
                 weight_3d=self.cfg.weight_3d,
                 surface_capacity=self.surface_capacity,
                 coarse_cells=self.coarse_cells,
+                warm_band=getattr(self.cfg, "warm_band", 0),
+                warm_refresh=getattr(self.cfg, "warm_refresh", 10),
             )
 
             def fn(params0, K_arr, nocs, fr, fm):

@@ -240,6 +240,38 @@ def test_select_decoder_bf16_exact_stage2():
     assert np.abs(np.linalg.norm(nrm, axis=-1) - 1.0).max() < 1e-5
 
 
+def test_surface_from_candidates_full_set_matches():
+    """cand_idx = arange(N) reproduces the full two-stage pass exactly."""
+    pts = grid_ops.generate_point_grid(16)
+
+    def decoder(_latent, p):
+        return _sphere_sdf(p)
+
+    full, _ = grid_ops.surface_from_decoder(decoder, None, pts, capacity=256)
+    cand = grid_ops.surface_from_candidates(
+        decoder, None, pts, jnp.arange(pts.shape[0], dtype=jnp.int32),
+        capacity=256)
+    for a, b in zip(full, cand):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_band_candidates_then_select_matches():
+    """Refresh (band_candidates) + candidate selection == full selection
+    whenever the candidate pool covers the band (pool 2x capacity)."""
+    pts = grid_ops.generate_point_grid(16)
+
+    def decoder(_latent, p):
+        return _sphere_sdf(p)
+
+    full, _ = grid_ops.surface_from_decoder(decoder, None, pts, capacity=256)
+    cand_idx = grid_ops.band_candidates(decoder, None, pts, 512)
+    warm = grid_ops.surface_from_candidates(
+        decoder, None, pts, cand_idx, capacity=256)
+    a, b = _valid_sorted(full), _valid_sorted(warm)
+    assert a.shape == b.shape and a.shape[0] > 50
+    np.testing.assert_allclose(a, b, atol=1e-6)
+
+
 def test_fold_weight_norm_and_cast():
     """fold_weight_norm preserves forward values exactly; select_sdf_fn
     approximates within bf16 tolerance."""

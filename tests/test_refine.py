@@ -238,6 +238,31 @@ def test_refinement_converges_on_synthetic_crop():
     np.testing.assert_allclose(np.asarray(f_sel.trans),
                                np.asarray(f_ref.trans), atol=1e-4)
 
+    # Warm-started band selection: with refresh every iteration and a
+    # candidate pool 2x capacity, selection is bit-identical to the full
+    # pass; with refresh=4 the latent drift between refreshes (lr 3e-5) is
+    # far below the band margins, so the trajectory still matches.
+    for refresh, rtol in ((1, 1e-6), (4, 2e-4)):
+        cfg_warm = dataclasses.replace(cfg_ref, warm_band=2048,
+                                       warm_refresh=refresh)
+        fn_warm = jax.jit(refine.make_refine_fn(decoder, cfg_warm, grid_pts,
+                                                K, crop_hw))
+        f_warm, h_warm = fn_warm(*args)
+        np.testing.assert_allclose(np.asarray(h_warm.loss),
+                                   np.asarray(h_ref.loss), rtol=rtol)
+        np.testing.assert_allclose(np.asarray(f_warm.trans),
+                                   np.asarray(f_ref.trans), atol=1e-4)
+
+    with pytest.raises(ValueError, match="warm_band"):
+        refine.make_refine_fn(
+            decoder, dataclasses.replace(cfg_ref, warm_band=16), grid_pts,
+            K, crop_hw)
+    with pytest.raises(ValueError, match="at most one"):
+        refine.make_refine_fn(
+            decoder, dataclasses.replace(cfg_ref, warm_band=2048,
+                                         coarse_cells=600),
+            grid_pts, K, crop_hw)
+
 
 def test_loss_2d_windowed_matches_dense():
     """The O(K^2 P) windowed formulation equals the dense O(P^2) oracle in
