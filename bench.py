@@ -120,6 +120,7 @@ def bench_ours():
 
 
 V5E_BF16_PEAK_TFLOPS = 197.0  # public v5e spec (bf16 MXU peak per chip)
+V5E_HBM_GBPS = 819.0  # public v5e spec (HBM bandwidth per chip)
 
 
 def flops_per_iteration():
@@ -164,6 +165,31 @@ def flops_per_iteration():
     ca = fn.lower(p0, nocs, frustum, fmask).compile().cost_analysis()
     ca = ca[0] if isinstance(ca, list) else ca
     return float(ca["flops"])
+
+
+def analytic_hbm_bytes_per_iteration():
+    """HBM traffic model of one refinement iteration (fp32 path).
+
+    XLA's cost-analysis 'bytes accessed' counts every HLO's operands with
+    no fusion accounting (it reports 6.6 GB here, which would exceed the
+    measured iteration time — useless as a bound). This model counts only
+    what must physically cross HBM on TPU: matmul-chain activations are
+    too large for VMEM residency across layers (64k x 512 fp32 = 131 MB),
+    so each inter-layer boundary costs one write + one read; weights are
+    read per pass; everything else (render, losses, top-k) is small.
+    """
+    B = 4  # fp32 bytes
+    n1 = GRID_DENSITY ** 3
+    n2 = CAPACITY
+    H = DIMS
+    nb = LAYERS - 1  # inter-layer activation boundaries
+    w_bytes = LAYERS * H * H * B  # decoder weights, read once per pass
+    # stage 1 (selection decode, fwd only): input + boundaries + weights
+    s1 = n1 * (H + LATENT + 3) * B + 2 * n1 * H * B * nb + w_bytes
+    # stage 2 (fwd + normals vjp + loss-grad bwd ~ 3 passes over a
+    # CAPACITY-row chain; backward re-reads stored activations)
+    s2 = 3 * (2 * n2 * H * B * nb + w_bytes)
+    return float(s1 + s2)
 
 
 def flops_per_iteration_subprocess(timeout=420):
@@ -262,8 +288,18 @@ def main():
 
     # Speed-of-light accounting (the actionable number): achieved FLOP/s
     # of the iteration vs the chip's bf16 MXU peak. The torch-CPU ratio is
-    # kept as a secondary context field only.
+    # kept as a secondary context field only. Only well-defined for the
+    # default exact program: under BENCH_WARM_BAND the scan body holds a
+    # lax.cond whose branches the cost analysis BOTH counts, and the
+    # useful FLOPs differ between refresh and warm iterations.
+    variant = None
+    if WARM_BAND:
+        variant = f"warm_band={WARM_BAND},refresh={WARM_REFRESH}"
+    if SELECT_BF16:
+        variant = (variant + "," if variant else "") + "select_bf16"
     try:
+        if variant is not None and WARM_BAND:
+            raise RuntimeError("flops accounting skipped for warm variant")
         print("# computing XLA cost analysis (CPU lowering)...",
               file=sys.stderr, flush=True)
         flops_iter = flops_per_iteration_subprocess()
@@ -271,6 +307,7 @@ def main():
         print(f"# cost analysis failed: {type(e).__name__}: {e}",
               file=sys.stderr)
         flops_iter = None
+    bytes_iter = analytic_hbm_bytes_per_iteration() if flops_iter else None
     achieved_tflops = (
         flops_iter * iters_per_sec / 1e12 if flops_iter else None
     )
@@ -278,6 +315,18 @@ def main():
         100.0 * achieved_tflops / V5E_BF16_PEAK_TFLOPS
         if achieved_tflops else None
     )
+    # Roofline: the iteration is limited by whichever is larger — MXU time
+    # (flops / bf16 peak) or HBM time (bytes / bandwidth). At this
+    # workload's fp32 activation sizes the stage-1 decode is
+    # bandwidth-bound (2.3 GB/iter model vs 1.4 ms of MXU work), so
+    # pct_roofline is the actionable fraction-of-speed-of-light number;
+    # pct_peak_bf16 alone understates it. bytes from the analytic HBM
+    # model above (XLA's bytes-accessed has no fusion accounting).
+    pct_roofline = None
+    if flops_iter and bytes_iter:
+        bound_s = max(flops_iter / (V5E_BF16_PEAK_TFLOPS * 1e12),
+                      bytes_iter / (V5E_HBM_GBPS * 1e9))
+        pct_roofline = 100.0 * bound_s * iters_per_sec
 
     ref_rays = bench_reference()
     vs = rays_per_sec / ref_rays if ref_rays else 0.0
@@ -291,8 +340,12 @@ def main():
         "achieved_tflops": (round(achieved_tflops, 2)
                             if achieved_tflops else None),
         "pct_peak_bf16": round(pct_peak, 1) if pct_peak else None,
+        "bytes_per_iter": bytes_iter,
+        "pct_roofline": round(pct_roofline, 1) if pct_roofline else None,
         "peak_tflops_ref": V5E_BF16_PEAK_TFLOPS,
+        "hbm_gbps_ref": V5E_HBM_GBPS,
         "vs_torch_cpu": round(vs, 2),
+        **({"variant": variant} if variant else {}),
     }))
 
 

@@ -267,9 +267,17 @@ def surface_from_candidates(
     """
     sel_fn = select_decoder_fn if select_decoder_fn is not None else decoder_fn
     pts_cand = jnp.take(points, cand_idx, axis=0)
-    sdf_cand = jax.lax.stop_gradient(sel_fn(latent, pts_cand).reshape(-1))
-    _, k_idx = jax.lax.top_k(-jnp.abs(sdf_cand), capacity)
-    pts_sel = jnp.take(pts_cand, k_idx, axis=0)
+    if cand_idx.shape[0] == capacity:
+        # Selection among exactly `capacity` candidates keeps them all —
+        # surface output is set-semantic (downstream consumers are
+        # order-free masked reductions) and stage 2 computes the mask, so
+        # the stage-1 decode + top-k is skipped entirely.
+        pts_sel = pts_cand
+    else:
+        sdf_cand = jax.lax.stop_gradient(
+            sel_fn(latent, pts_cand).reshape(-1))
+        _, k_idx = jax.lax.top_k(-jnp.abs(sdf_cand), capacity)
+        pts_sel = jnp.take(pts_cand, k_idx, axis=0)
 
     sdf_sel, vjp_fn = jax.vjp(
         lambda p: decoder_fn(latent, p).reshape(-1), pts_sel

@@ -271,6 +271,15 @@ def test_band_candidates_then_select_matches():
     assert a.shape == b.shape and a.shape[0] > 50
     np.testing.assert_allclose(a, b, atol=1e-6)
 
+    # Pool == capacity: the stage-1 decode is skipped (all candidates
+    # selected); the valid surface SET is unchanged.
+    cand_cap = grid_ops.band_candidates(decoder, None, pts, 256)
+    warm_cap = grid_ops.surface_from_candidates(
+        decoder, None, pts, cand_cap, capacity=256)
+    c = _valid_sorted(warm_cap)
+    assert c.shape == a.shape
+    np.testing.assert_allclose(a, c, atol=1e-6)
+
 
 def test_fold_weight_norm_and_cast():
     """fold_weight_norm preserves forward values exactly; select_sdf_fn

@@ -242,14 +242,20 @@ def test_refinement_converges_on_synthetic_crop():
     # candidate pool 2x capacity, selection is bit-identical to the full
     # pass; with refresh=4 the latent drift between refreshes (lr 3e-5) is
     # far below the band margins, so the trajectory still matches.
-    for refresh, rtol in ((1, 1e-6), (4, 2e-4)):
-        cfg_warm = dataclasses.replace(cfg_ref, warm_band=2048,
+    # warm_band == capacity additionally skips the warm-iteration stage-1
+    # decode (selection of capacity among capacity keeps all; compositing
+    # and losses are order-free reductions) — same trajectory up to fp
+    # reordering of the point dimension.
+    for band, refresh, rtol in ((2048, 1, 1e-6), (2048, 4, 2e-4),
+                                (1024, 1, 1e-4), (1024, 4, 5e-4)):
+        cfg_warm = dataclasses.replace(cfg_ref, warm_band=band,
                                        warm_refresh=refresh)
         fn_warm = jax.jit(refine.make_refine_fn(decoder, cfg_warm, grid_pts,
                                                 K, crop_hw))
         f_warm, h_warm = fn_warm(*args)
         np.testing.assert_allclose(np.asarray(h_warm.loss),
-                                   np.asarray(h_ref.loss), rtol=rtol)
+                                   np.asarray(h_ref.loss), rtol=rtol,
+                                   err_msg=f"band={band} refresh={refresh}")
         np.testing.assert_allclose(np.asarray(f_warm.trans),
                                    np.asarray(f_ref.trans), atol=1e-4)
 
