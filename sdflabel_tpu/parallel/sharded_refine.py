@@ -104,11 +104,31 @@ def make_sharded_refine_fn(
     one representative per local cell, keeps its ~coarse_cells/n_dev best
     cells, and band-selects only among their children. Same approximation
     contract as the single-device path, with the budget split per shard.
+
+    cfg.warm_band enables warm-started band selection (the distributed
+    analogue of engine.refine's warm_band; here only the pool ==
+    surface_capacity form): the replicated selected point set is carried
+    across scan iterations and the grid-sharded stage-1 (local decode +
+    top-k + all_gather) runs only every cfg.warm_refresh iterations,
+    inside a lax.cond whose predicate is the (replicated) loop counter —
+    every chip takes the same branch, so the branch collectives stay
+    SPMD-coherent. Warm iterations pay only the sharded stage-2 decode.
     """
     h, w = crop_hw
     n_dev = mesh.shape[axis]
     p_total = h * w
     p_pad = _round_up(p_total, n_dev)
+    use_warm = cfg.warm_band > 0
+    if use_warm:
+        if cfg.warm_band != cfg.surface_capacity:
+            raise ValueError(
+                "sharded warm_band supports only the pool == "
+                f"surface_capacity form (got {cfg.warm_band} vs "
+                f"{cfg.surface_capacity})")
+        if cfg.coarse_cells is not None:
+            raise ValueError(
+                "warm_band and coarse_cells are alternative selection "
+                "accelerations; enable at most one")
     # same auto rule as engine.losses.loss_2d: windowed above 64x64
     # (always safe there: any such crop has far more pixels than the
     # ~diam^2 disc, so the zero-weight fallback candidate always exists)
@@ -168,8 +188,21 @@ def make_sharded_refine_fn(
     cap_pad = _round_up(cap, n_dev)
     c2_local = cap_pad // n_dev
 
+    def select_band(latent, grid_block):
+        """Grid-sharded stage-1: local decode + top-k, all_gather, global
+        top-k -> replicated (cap, 3) selected points."""
+        sdf_local = jax.lax.stop_gradient(
+            sdf_decoder(latent, grid_block).reshape(-1)
+        )
+        neg_local, idx_local = jax.lax.top_k(-jnp.abs(sdf_local), local_cap)
+        cand_pts = jnp.take(grid_block, idx_local, axis=0)
+        all_neg = jax.lax.all_gather(neg_local, axis).reshape(-1)
+        all_pts = jax.lax.all_gather(cand_pts, axis).reshape(-1, 3)
+        _, sel = jax.lax.top_k(all_neg, cap)
+        return jnp.take(all_pts, sel, axis=0)
+
     def iteration(params, css_flat, grid_block, rc_block,
-                  pxv_block, frustum, fmask):
+                  pxv_block, frustum, fmask, pts_warm):
         # Every optimized parameter is routed through a pmean-on-backward
         # identity, and every loss path below is SHARD-PARTIAL (the 2D loss
         # over this shard's pixels, the 3D loss over this shard's point
@@ -188,7 +221,12 @@ def make_sharded_refine_fn(
         latent = latent_p / jnp.sqrt(jnp.maximum(n2, 1e-24))
 
         # ---- stage 1: grid-sharded selection decode ----
-        if cfg.coarse_cells is not None:
+        if use_warm:
+            # warm iteration: the carried replicated point set IS the
+            # selection (pool == capacity keeps all); stage 2 computes the
+            # validity mask, so no selection decode runs at all.
+            pts_sel = jax.lax.stop_gradient(pts_warm)
+        elif cfg.coarse_cells is not None:
             # stage 0: local coarse cell selection on cell corner points
             blk = grid_block.reshape(-1, r3, 3)  # (cells_local, r^3, 3)
             sdf_rep = jax.lax.stop_gradient(
@@ -196,17 +234,18 @@ def make_sharded_refine_fn(
             )
             _, cell_idx = jax.lax.top_k(-jnp.abs(sdf_rep), kc_local)
             cand_grid = jnp.take(blk, cell_idx, axis=0).reshape(-1, 3)
+            sdf_local = jax.lax.stop_gradient(
+                sdf_decoder(latent, cand_grid).reshape(-1)
+            )
+            neg_local, idx_local = jax.lax.top_k(
+                -jnp.abs(sdf_local), local_cap)
+            cand_pts = jnp.take(cand_grid, idx_local, axis=0)
+            all_neg = jax.lax.all_gather(neg_local, axis).reshape(-1)
+            all_pts = jax.lax.all_gather(cand_pts, axis).reshape(-1, 3)
+            _, sel = jax.lax.top_k(all_neg, cap)
+            pts_sel = jnp.take(all_pts, sel, axis=0)  # replicated (cap, 3)
         else:
-            cand_grid = grid_block
-        sdf_local = jax.lax.stop_gradient(
-            sdf_decoder(latent, cand_grid).reshape(-1)
-        )
-        neg_local, idx_local = jax.lax.top_k(-jnp.abs(sdf_local), local_cap)
-        cand_pts = jnp.take(cand_grid, idx_local, axis=0)
-        all_neg = jax.lax.all_gather(neg_local, axis).reshape(-1)
-        all_pts = jax.lax.all_gather(cand_pts, axis).reshape(-1, 3)
-        neg_sel, sel = jax.lax.top_k(all_neg, cap)
-        pts_sel = jnp.take(all_pts, sel, axis=0)  # replicated (cap, 3)
+            pts_sel = select_band(latent, grid_block)
 
         # ---- stage 2: SHARDED differentiable decode + normals -----------
         # Each chip decodes its cap/n_dev slice of the selected points and
@@ -362,12 +401,27 @@ def make_sharded_refine_fn(
 
     def shard_body(params0, css_flat, grid_block, rc_block,
                    pxv_block, frustum, fmask):
-        def step(carry, _):
-            params, opt_state = carry
+        def step(carry, it):
+            params, opt_state, pts_warm = carry
+            if use_warm:
+                # Refresh is selection-only; it runs OUTSIDE value_and_grad
+                # on the current latent. The predicate is a replicated loop
+                # counter, so every chip takes the same cond branch and the
+                # branch's collectives stay coherent.
+                n2 = jnp.sum(jnp.square(
+                    jax.lax.stop_gradient(params.latent)))
+                lat = jax.lax.stop_gradient(params.latent) / jnp.sqrt(
+                    jnp.maximum(n2, 1e-24))
+                pts_warm = jax.lax.cond(
+                    it % cfg.warm_refresh == 0,
+                    lambda p: select_band(lat, grid_block),
+                    lambda p: p,
+                    pts_warm,
+                )
             (loss, (l2d, l3d)), grads = jax.value_and_grad(
                 iteration, has_aux=True
             )(params, css_flat, grid_block, rc_block,
-              pxv_block, frustum, fmask)
+              pxv_block, frustum, fmask, pts_warm)
             ok = jnp.isfinite(loss) & (loss != 0.0)
             grads = jax.tree.map(
                 lambda g: jnp.where(ok & jnp.isfinite(g).all(), g, 0.0),
@@ -379,10 +433,13 @@ def make_sharded_refine_fn(
                 lambda n, o: jnp.where(ok, n, o), new_params, params)
             new_opt = jax.tree.map(
                 lambda n, o: jnp.where(ok, n, o), new_opt, opt_state)
-            return (new_params, new_opt), loss
+            return (new_params, new_opt, pts_warm), loss
 
-        carry = (params0, opt.init(params0))
-        carry, hist = jax.lax.scan(step, carry, None, length=cfg.iters)
+        # Warm carry: iteration 0 always refreshes, so zeros are never
+        # consumed (empty when warm is off).
+        pts0 = jnp.zeros((cap if use_warm else 0, 3), jnp.float32)
+        carry = (params0, opt.init(params0), pts0)
+        carry, hist = jax.lax.scan(step, carry, jnp.arange(cfg.iters))
         return carry[0], hist
 
     sharded = jax.shard_map(

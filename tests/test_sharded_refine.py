@@ -155,6 +155,48 @@ def test_sharded_coarse_to_fine_matches(problem):
         )
 
 
+def test_sharded_warm_band_matches(problem):
+    """Distributed warm-started band: refresh=1 reproduces the exact
+    sharded path (same selected set each iteration, fp-reorder drift
+    only); refresh=3 still tracks it (latent drift below band margins).
+    The cond's collectives execute coherently on the 8-device mesh."""
+    import dataclasses
+
+    (decoder, cfg, grid_pts, K, crop_hw, nocs, frustum, fmask,
+     init) = problem
+    mesh = mesh_mod.make_mesh(n_data=1, n_rays=8)
+    cfg5 = dataclasses.replace(cfg, iters=5)
+    exact_fn = sharded_refine.make_sharded_refine_fn(
+        decoder, cfg5, np.asarray(grid_pts), K, crop_hw, mesh, axis="rays"
+    )
+    _, hist_exact = exact_fn(init, nocs, frustum, fmask)
+
+    for refresh, rtol in ((1, 1e-4), (3, 1e-3)):
+        cfg_w = dataclasses.replace(cfg5, warm_band=cfg.surface_capacity,
+                                    warm_refresh=refresh)
+        warm_fn = sharded_refine.make_sharded_refine_fn(
+            decoder, cfg_w, np.asarray(grid_pts), K, crop_hw, mesh,
+            axis="rays",
+        )
+        _, hist_warm = warm_fn(init, nocs, frustum, fmask)
+        np.testing.assert_allclose(np.asarray(hist_warm),
+                                   np.asarray(hist_exact), rtol=rtol,
+                                   err_msg=f"refresh={refresh}")
+
+    with pytest.raises(ValueError, match="pool == "):
+        sharded_refine.make_sharded_refine_fn(
+            decoder, dataclasses.replace(cfg5, warm_band=123),
+            np.asarray(grid_pts), K, crop_hw, mesh, axis="rays",
+        )
+    with pytest.raises(ValueError, match="at most one"):
+        sharded_refine.make_sharded_refine_fn(
+            decoder,
+            dataclasses.replace(cfg5, warm_band=cfg.surface_capacity,
+                                coarse_cells=600),
+            np.asarray(grid_pts), K, crop_hw, mesh, axis="rays",
+        )
+
+
 def test_sharded_gradient_parity_per_loss_path():
     """One optimizer step, sharded vs single-device, each loss path in
     isolation: SGD steps expose the raw gradients, so this pins the
