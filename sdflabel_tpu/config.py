@@ -151,6 +151,11 @@ class TrainCfg:
     # data streams. -1 = unseeded (the reference's effective behavior).
     seed: int = 1
     batch_size: int = 13
+    # Mixed-precision conv compute (TPU extension): 'bfloat16' runs the
+    # backbone/decoder convs in bf16 (params/BN/losses fp32, torch-AMP
+    # analogue); 'float32' (default) matches the reference's fp32 CUDA
+    # training exactly.
+    precision: str = "float32"
     epochs: int = 5000000
     lr: float = 0.001
     queue_size: int = 10
@@ -158,6 +163,11 @@ class TrainCfg:
     analyse_epoch: int = 1
     plot: bool = True
     log_dir: str = "log/demo/"
+    # Print training losses every N batches (TPU extension). 1 = the
+    # reference's per-batch print (train_css.py:92-97) — but each print
+    # forces a host sync, which on a remote-dispatch link costs more than
+    # the step itself. N>1 keeps N steps in flight between syncs.
+    log_every: int = 1
 
     @classmethod
     def from_ini(cls, cfgp: configparser.ConfigParser) -> "TrainCfg":
@@ -166,11 +176,15 @@ class TrainCfg:
             css_path=read_cfg_string(cfgp, "input", "css_path", cls.css_path),
             seed=read_cfg_int(cfgp, "train", "seed", cls.seed),
             batch_size=read_cfg_int(cfgp, "train", "batch_size", cls.batch_size),
+            precision=read_cfg_string(
+                cfgp, "train", "precision", cls.precision
+            ),
             epochs=read_cfg_int(cfgp, "train", "epochs", cls.epochs),
             lr=read_cfg_float(cfgp, "train", "lr", cls.lr),
             queue_size=read_cfg_int(cfgp, "optimization", "queue_size", cls.queue_size),
             cpu_threads=read_cfg_int(cfgp, "optimization", "cpu_threads", cls.cpu_threads),
             analyse_epoch=read_cfg_int(cfgp, "log", "analyse_epoch", cls.analyse_epoch),
+            log_every=read_cfg_int(cfgp, "log", "log_every", cls.log_every),
             plot=read_cfg_bool(cfgp, "log", "plot", cls.plot),
             log_dir=read_cfg_string(cfgp, "log", "dir", cls.log_dir),
         )

@@ -72,7 +72,12 @@ def upsample2x_align_corners(x: jax.Array) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 class TorchBatchNorm(nn.Module):
-    """BatchNorm with torch semantics (momentum 0.1, eps 1e-5)."""
+    """BatchNorm with torch semantics (momentum 0.1, eps 1e-5).
+
+    Statistics and normalization always run in fp32 regardless of the
+    surrounding conv compute dtype — bf16 batch statistics over
+    B*H*W-sized reductions lose precision the training loop can feel.
+    """
 
     features: int
     use_running_average: bool = True
@@ -84,41 +89,50 @@ class TorchBatchNorm(nn.Module):
             momentum=0.9,
             epsilon=1e-5,
             axis_name=None,
-        )(x)
+        )(x.astype(jnp.float32))
 
 
-def _conv(features, kernel, strides=1, use_bias=False):
+def _conv(features, kernel, strides=1, use_bias=False,
+          dtype=jnp.float32):
     return nn.Conv(
         features, (kernel, kernel), strides=(strides, strides),
         padding=[(kernel // 2, kernel // 2)] * 2, use_bias=use_bias,
+        dtype=dtype,
     )
 
 
 class BasicBlock(nn.Module):
-    """ResNet basic block (resnet_css.py:29-57)."""
+    """ResNet basic block (resnet_css.py:29-57).
+
+    dtype: conv compute dtype (mixed precision). Params stay fp32
+    (flax param_dtype default); BatchNorm statistics/normalization always
+    run fp32 (TorchBatchNorm casts), so bf16 touches only the conv
+    matmuls — the standard TPU mixed-precision split.
+    """
 
     planes: int
     stride: int = 1
     downsample: bool = False
     use_running_average: bool = True
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         residual = x
-        out = _conv(self.planes, 3, self.stride)(x)
+        out = _conv(self.planes, 3, self.stride, dtype=self.dtype)(x)
         out = TorchBatchNorm(self.planes, self.use_running_average)(out)
         out = nn.relu(out)
-        out = _conv(self.planes, 3)(out)
+        out = _conv(self.planes, 3, dtype=self.dtype)(out)
         out = TorchBatchNorm(self.planes, self.use_running_average)(out)
         if self.downsample:
             residual = nn.Conv(
                 self.planes, (1, 1), strides=(self.stride, self.stride),
-                use_bias=False,
+                use_bias=False, dtype=self.dtype,
             )(x)
             residual = TorchBatchNorm(self.planes, self.use_running_average)(
                 residual
             )
-        return nn.relu(out + residual)
+        return nn.relu(out + residual.astype(out.dtype))
 
 
 class DoubleConv(nn.Module):
@@ -126,13 +140,14 @@ class DoubleConv(nn.Module):
 
     features: int
     use_running_average: bool = True
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        x = _conv(self.features, 3, use_bias=True)(x)
+        x = _conv(self.features, 3, use_bias=True, dtype=self.dtype)(x)
         x = TorchBatchNorm(self.features, self.use_running_average)(x)
         x = nn.relu(x)
-        x = _conv(self.features, 3, use_bias=True)(x)
+        x = _conv(self.features, 3, use_bias=True, dtype=self.dtype)(x)
         x = TorchBatchNorm(self.features, self.use_running_average)(x)
         return nn.relu(x)
 
@@ -143,10 +158,11 @@ class Up(nn.Module):
     features: int
     add_shortcut: bool = True
     use_running_average: bool = True
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x1, x2):
-        x1 = upsample2x_align_corners(x1)
+        x1 = upsample2x_align_corners(x1.astype(self.dtype))
         # torch pads x2 up to x1's size (diff is 0 for the 128x128 pipeline)
         dh = x1.shape[1] - x2.shape[1]
         dw = x1.shape[2] - x2.shape[2]
@@ -156,8 +172,12 @@ class Up(nn.Module):
                 ((0, 0), (dh // 2, dh - dh // 2), (dw // 2, dw - dw // 2),
                  (0, 0)),
             )
-        x = jnp.concatenate([x2, x1], axis=-1) if self.add_shortcut else x1
-        return DoubleConv(self.features, self.use_running_average)(x)
+        if self.add_shortcut:
+            x = jnp.concatenate([x2.astype(x1.dtype), x1], axis=-1)
+        else:
+            x = x1
+        return DoubleConv(self.features, self.use_running_average,
+                          dtype=self.dtype)(x)
 
 
 def project_vecs_onto_sphere(vectors: jax.Array, radius: float = 1.0) -> jax.Array:
@@ -181,25 +201,38 @@ class CSSNet(nn.Module):
     use_running_average: bool = True
     sm_hardness: float = 100.0  # resnet_css.py:230
     width: int = 64
+    # Mixed-precision conv compute (TPU extension, OFF by default):
+    # dtype=bfloat16 runs every backbone/decoder conv matmul in bf16 while
+    # params, BatchNorm, the 1x1 output heads, and the log-softmax decode
+    # stay fp32. The reference trains fp32 CUDA (train_css.py) — this is
+    # the TPU-idiomatic equivalent of torch AMP.
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x_nchw):
         ura = self.use_running_average
         wd = self.width
+        dt = self.dtype
         x = jnp.transpose(x_nchw, (0, 2, 3, 1))  # NCHW -> NHWC
 
         x1 = nn.Conv(wd, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
-                     use_bias=False, name="conv1")(x)
+                     use_bias=False, name="conv1", dtype=dt)(x)
         x1 = TorchBatchNorm(wd, ura, name="bn1")(x1)
         x1 = nn.relu(x1)
         x2 = nn.max_pool(x1, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
 
-        x3 = BasicBlock(wd, name="layer1_0", use_running_average=ura)(x2)
-        x3 = BasicBlock(wd, name="layer1_1", use_running_average=ura)(x3)
-        x3 = BasicBlock(2 * wd, 2, True, name="layer2_0", use_running_average=ura)(x3)
-        x3 = BasicBlock(2 * wd, name="layer2_1", use_running_average=ura)(x3)
-        x4 = BasicBlock(4 * wd, 2, True, name="layer3_0", use_running_average=ura)(x3)
-        x4 = BasicBlock(4 * wd, name="layer3_1", use_running_average=ura)(x4)
+        x3 = BasicBlock(wd, name="layer1_0", use_running_average=ura,
+                        dtype=dt)(x2)
+        x3 = BasicBlock(wd, name="layer1_1", use_running_average=ura,
+                        dtype=dt)(x3)
+        x3 = BasicBlock(2 * wd, 2, True, name="layer2_0",
+                        use_running_average=ura, dtype=dt)(x3)
+        x3 = BasicBlock(2 * wd, name="layer2_1", use_running_average=ura,
+                        dtype=dt)(x3)
+        x4 = BasicBlock(4 * wd, 2, True, name="layer3_0",
+                        use_running_average=ura, dtype=dt)(x3)
+        x4 = BasicBlock(4 * wd, name="layer3_1", use_running_average=ura,
+                        dtype=dt)(x4)
 
         # latent head
         x_lat = nn.Conv(3, (1, 1), name="out_lat")(x4)
@@ -207,12 +240,17 @@ class CSSNet(nn.Module):
         latent = project_vecs_onto_sphere(x_lat)
 
         def head(prefix, out_ch):
-            h = Up(2 * wd, name=f"up1_{prefix}", use_running_average=ura)(x4, x3)
-            h = Up(wd, name=f"up2_{prefix}", use_running_average=ura)(h, x2)
-            h = Up(wd, name=f"up3_{prefix}", use_running_average=ura)(h, x1)
+            h = Up(2 * wd, name=f"up1_{prefix}", use_running_average=ura,
+                   dtype=dt)(x4, x3)
+            h = Up(wd, name=f"up2_{prefix}", use_running_average=ura,
+                   dtype=dt)(h, x2)
+            h = Up(wd, name=f"up3_{prefix}", use_running_average=ura,
+                   dtype=dt)(h, x1)
             h = Up(wd, add_shortcut=False, name=f"up4_{prefix}",
-                   use_running_average=ura)(h, x)
-            return nn.Conv(out_ch, (1, 1), name=f"out_{prefix}")(h)
+                   use_running_average=ura, dtype=dt)(h, x)
+            # output logits + softmax decode stay fp32 for numerics
+            return nn.Conv(out_ch, (1, 1), name=f"out_{prefix}")(
+                h.astype(jnp.float32))
 
         u = jax.nn.log_softmax(head("u", 256), axis=-1)
         v = jax.nn.log_softmax(head("v", 256), axis=-1)

@@ -99,7 +99,14 @@ def train_css(cfgp, max_epochs: int | None = None, mesh=None):
         start_epoch = int(os.path.basename(latest).split("_")[1])
         print(f"Resumed training from {latest} (epoch {start_epoch}).")
 
-    step_fn = css_train.make_train_step(cfg.lr)
+    # Mixed precision ([train] precision): bf16 conv compute, fp32
+    # params/BN/losses — the TPU analogue of torch AMP (the reference
+    # trains fp32 CUDA). float32 default preserves reference numerics.
+    train_model = None
+    if cfg.precision in ("bfloat16", "float16"):
+        train_model = css_mod.CSSNet(use_running_average=False,
+                                     dtype=jnp.bfloat16)
+    step_fn = css_train.make_train_step(cfg.lr, model=train_model)
     if mesh is not None:
         step_fn = css_train.shard_train_step(step_fn, mesh)
     else:
@@ -121,14 +128,19 @@ def train_css(cfgp, max_epochs: int | None = None, mesh=None):
                 if k in ("rgb", "uvw", "mask", "latent")
             }
             state, metrics = step_fn(state, batch)
-            print(
-                "Train Epoch: {} [{}/{}]\tLosses: global - {:.6f}, "
-                "uvw - {:.6f}, mask - {:.6f}, latent - {:.6f}".format(
-                    epoch, batch_idx * len(batch_np["rgb"]), len(trainset),
-                    float(metrics["loss"]), float(metrics["loss_uvw"]),
-                    float(metrics["loss_mask"]), float(metrics["loss_latent"]),
+            # float(...) forces a host sync; honoring log_every keeps
+            # several steps in flight on remote-dispatch links.
+            if (batch_idx + 1) % max(cfg.log_every, 1) == 0:
+                print(
+                    "Train Epoch: {} [{}/{}]\tLosses: global - {:.6f}, "
+                    "uvw - {:.6f}, mask - {:.6f}, latent - {:.6f}".format(
+                        epoch, batch_idx * len(batch_np["rgb"]),
+                        len(trainset),
+                        float(metrics["loss"]), float(metrics["loss_uvw"]),
+                        float(metrics["loss_mask"]),
+                        float(metrics["loss_latent"]),
+                    )
                 )
-            )
             last_batch = batch_np
 
         if (epoch + 1) % cfg.analyse_epoch == 0:

@@ -68,6 +68,56 @@ def test_train_mode_runs(ref_and_ours):
     assert "batch_stats" in updates
 
 
+def test_mixed_precision_forward_close(ref_and_ours):
+    """dtype=bfloat16 (conv compute only; params/BN/heads fp32) tracks the
+    fp32 forward: same params, logits within bf16 accumulation tolerance,
+    outputs still fp32."""
+    _, variables = ref_and_ours
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(2, 3, 128, 128).astype(np.float32))
+    out32 = css.CSSNet(use_running_average=True).apply(variables, x)
+    outbf = css.CSSNet(use_running_average=True,
+                       dtype=jnp.bfloat16).apply(variables, x)
+    assert np.asarray(outbf["u"]).dtype == np.float32
+    np.testing.assert_allclose(np.asarray(outbf["latent"]),
+                               np.asarray(out32["latent"]), atol=2e-2)
+    # log-softmax logits: compare where either is non-negligible
+    for key in ("u", "v", "w", "mask"):
+        a, b = np.asarray(outbf[key]), np.asarray(out32[key])
+        denom = np.maximum(np.abs(b), 1.0)
+        assert np.median(np.abs(a - b) / denom) < 0.1, key
+    # expected-color decode (the product output): within a few color bins
+    assert np.median(np.abs(np.asarray(outbf["uvw_sm"])
+                            - np.asarray(out32["uvw_sm"]))) < 8.0
+
+
+def test_mixed_precision_train_step(ref_and_ours):
+    """A bf16-compute train step runs, yields finite fp32 losses, and
+    decreases the loss on a repeated batch."""
+    from sdflabel_tpu.engine import css_train
+
+    rng = np.random.RandomState(4)
+    model = css.CSSNet(use_running_average=False, dtype=jnp.bfloat16,
+                       width=8)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((2, 3, 64, 64)))
+    variables = {"params": variables["params"],
+                 "batch_stats": variables["batch_stats"]}
+    state = css_train.init_train_state(variables, lr=1e-3)
+    step = jax.jit(css_train.make_train_step(1e-3, model=model))
+    batch = {
+        "rgb": jnp.asarray(rng.rand(2, 3, 64, 64), jnp.float32),
+        "uvw": jnp.asarray(rng.randint(0, 256, (2, 3, 64, 64))),
+        "mask": jnp.asarray(rng.randint(0, 2, (2, 64, 64))),
+        "latent": jnp.asarray(rng.rand(2, 3), jnp.float32),
+    }
+    state, m0 = step(state, batch)
+    for _ in range(6):
+        state, m = step(state, batch)
+    assert np.isfinite(float(m["loss"]))
+    assert float(m["loss"]) < float(m0["loss"])
+
+
 def test_trainable_mask_freezes_early_layers(ref_and_ours):
     _, variables = ref_and_ours
     mask = css.trainable_mask(variables["params"])
