@@ -42,7 +42,12 @@ CAPACITY = 4096
 CROP = 32
 FRUSTUM = 4096
 DIMS, LAYERS, LATENT = 512, 8, 3
-SCAN_ITERS = 30
+# One dispatch through the axon tunnel costs ~30-40 ms RTT; the scan is
+# rolled (compile time is iteration-count independent), so a longer scan
+# amortizes the RTT out of the per-iteration number. A device profile at
+# 30 iters showed 2.52 ms/iter of kernels vs 3.58 ms/iter apparent —
+# 120 iters bounds the dispatch inflation at <12%.
+SCAN_ITERS = 120
 # BENCH_SELECT_BF16=1: hybrid precision variant — bf16 band-selection
 # decode (deepsdf.select_sdf_fn) + exact fp32 stage-2 re-decode. Same
 # rays/s metric; surface values stay fp32-exact by construction.
@@ -174,21 +179,26 @@ def analytic_hbm_bytes_per_iteration():
     no fusion accounting (it reports 6.6 GB here, which would exceed the
     measured iteration time — useless as a bound). This model counts only
     what must physically cross HBM on TPU: matmul-chain activations are
-    too large for VMEM residency across layers (64k x 512 fp32 = 131 MB),
+    too large for VMEM residency across layers (64k x 512 = 64-131 MB),
     so each inter-layer boundary costs one write + one read; weights are
     read per pass; everything else (render, losses, top-k) is small.
+    Under default matmul precision XLA stores the fp32 chain's
+    intermediates as bf16 (visible as bf16 tensors in the optimized HLO;
+    also why an explicit bf16 cast measured as a no-op), so boundary
+    traffic is counted at 2 bytes; inputs/weights at their true fp32.
     """
-    B = 4  # fp32 bytes
+    B = 4  # fp32 bytes (inputs, weights)
+    BA = 2  # bf16 activation storage between matmul layers
     n1 = GRID_DENSITY ** 3
     n2 = CAPACITY
     H = DIMS
     nb = LAYERS - 1  # inter-layer activation boundaries
     w_bytes = LAYERS * H * H * B  # decoder weights, read once per pass
     # stage 1 (selection decode, fwd only): input + boundaries + weights
-    s1 = n1 * (H + LATENT + 3) * B + 2 * n1 * H * B * nb + w_bytes
+    s1 = n1 * (H + LATENT + 3) * B + 2 * n1 * H * BA * nb + w_bytes
     # stage 2 (fwd + normals vjp + loss-grad bwd ~ 3 passes over a
     # CAPACITY-row chain; backward re-reads stored activations)
-    s2 = 3 * (2 * n2 * H * B * nb + w_bytes)
+    s2 = 3 * (2 * n2 * H * BA * nb + w_bytes)
     return float(s1 + s2)
 
 
