@@ -170,16 +170,15 @@ def ransac_pose(
             jnp.einsum("bij,nj->bni", rot_c * scale_c[:, None, None], scene_pts)
             + tra_c[:, None, :]
         )  # (B, N, 3)
-        d2 = (
-            jnp.sum(ts * ts, axis=-1)[..., None]
-            - 2.0 * jnp.einsum("bni,mi->bnm", ts, model_pts)
-            + jnp.sum(model_pts * model_pts, axis=-1)[None, None, :]
-        )
+        # broadcast form: exact fp32 on the VPU, fuses into the argmin
+        # (the K=3 einsum wastes the MXU contraction; see ops/knn.py)
+        diff = ts[:, :, None, :] - model_pts[None, None, :, :]
+        d2 = jnp.sum(diff * diff, axis=-1)
         d2 = jnp.where(model_mask[None, None, :], d2, jnp.inf)
         nn_idx = jnp.argmin(d2, axis=-1)  # (B, N)
-        nn_d = jnp.sqrt(
-            jnp.maximum(jnp.take_along_axis(d2, nn_idx[..., None], -1)[..., 0], 0.0)
-        )
+        # min(d2) == d2[argmin]; the reduce fuses where take_along_axis
+        # would lower to a TPU serial-window gather (see ops/knn.py).
+        nn_d = jnp.sqrt(jnp.maximum(jnp.min(d2, axis=-1), 0.0))
         nn_color = jnp.take(model_cls, nn_idx, axis=0)  # (B, N, 3)
         cd = jnp.linalg.norm(scene_cls[None] - nn_color, axis=-1)
         inlier = (
