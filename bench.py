@@ -308,8 +308,9 @@ def main():
     if SELECT_BF16:
         variant = (variant + "," if variant else "") + "select_bf16"
     try:
-        if variant is not None and WARM_BAND:
-            raise RuntimeError("flops accounting skipped for warm variant")
+        if variant is not None:
+            raise RuntimeError(
+                f"flops/roofline accounting skipped for variant {variant}")
         print("# computing XLA cost analysis (CPU lowering)...",
               file=sys.stderr, flush=True)
         flops_iter = flops_per_iteration_subprocess()

@@ -151,10 +151,11 @@ class TrainCfg:
     # data streams. -1 = unseeded (the reference's effective behavior).
     seed: int = 1
     batch_size: int = 13
-    # Mixed-precision conv compute (TPU extension): 'bfloat16' runs the
+    # Mixed-precision conv compute (TPU extension): 'bfloat16' (or
+    # 'float16', mapped to bf16 like the refine knob) runs the
     # backbone/decoder convs in bf16 (params/BN/losses fp32, torch-AMP
     # analogue); 'float32' (default) matches the reference's fp32 CUDA
-    # training exactly.
+    # training exactly. Any other value raises at pipeline start.
     precision: str = "float32"
     epochs: int = 5000000
     lr: float = 0.001

@@ -170,10 +170,13 @@ def ransac_pose(
             jnp.einsum("bij,nj->bni", rot_c * scale_c[:, None, None], scene_pts)
             + tra_c[:, None, :]
         )  # (B, N, 3)
-        # broadcast form: exact fp32 on the VPU, fuses into the argmin
-        # (the K=3 einsum wastes the MXU contraction; see ops/knn.py)
-        diff = ts[:, :, None, :] - model_pts[None, None, :, :]
-        d2 = jnp.sum(diff * diff, axis=-1)
+        # broadcast form, accumulated per coordinate: exact fp32 on the
+        # VPU with a (B, N, M) max intermediate on every backend (the
+        # K=3 einsum wastes the MXU contraction; see ops/knn.py)
+        d2 = sum(
+            jnp.square(ts[:, :, None, c] - model_pts[None, None, :, c])
+            for c in range(3)
+        )
         d2 = jnp.where(model_mask[None, None, :], d2, jnp.inf)
         nn_idx = jnp.argmin(d2, axis=-1)  # (B, N)
         # min(d2) == d2[argmin]; the reduce fuses where take_along_axis

@@ -25,16 +25,22 @@ def make_batched_refine(
     grid_points,
     crop_hw: tuple[int, int],
     mesh: Mesh | None = None,
+    select_decoder=None,
 ):
     """Returns refine_batch(params0_b, K_b, nocs_b, frustum_b, fmask_b).
 
     All arguments carry a leading crop axis. K varies per crop (per-crop
     adjusted intrinsics, refinement.py:586-609), so it is an argument of
     the vmapped function rather than a closure constant.
+
+    cfg.warm_band/select_decoder pass straight through to
+    make_refine_fn; under vmap the warm refresh lax.cond keeps real
+    cond semantics because its predicate (the scan counter) is unbatched.
     """
 
     def one(params0, K, nocs, fr, fm, pm):
-        fn = refine_mod.make_refine_fn(sdf_decoder, cfg, grid_points, K, crop_hw)
+        fn = refine_mod.make_refine_fn(sdf_decoder, cfg, grid_points, K,
+                                       crop_hw, select_decoder=select_decoder)
         return fn(params0, nocs, fr, fm, pm)
 
     batched = jax.vmap(one)

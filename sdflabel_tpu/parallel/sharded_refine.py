@@ -227,23 +227,15 @@ def make_sharded_refine_fn(
             # validity mask, so no selection decode runs at all.
             pts_sel = jax.lax.stop_gradient(pts_warm)
         elif cfg.coarse_cells is not None:
-            # stage 0: local coarse cell selection on cell corner points
+            # stage 0: local coarse cell selection on cell corner points,
+            # then the shared local-top-k/all_gather/global-top-k tail
             blk = grid_block.reshape(-1, r3, 3)  # (cells_local, r^3, 3)
             sdf_rep = jax.lax.stop_gradient(
                 sdf_decoder(latent, blk[:, 0]).reshape(-1)
             )
             _, cell_idx = jax.lax.top_k(-jnp.abs(sdf_rep), kc_local)
             cand_grid = jnp.take(blk, cell_idx, axis=0).reshape(-1, 3)
-            sdf_local = jax.lax.stop_gradient(
-                sdf_decoder(latent, cand_grid).reshape(-1)
-            )
-            neg_local, idx_local = jax.lax.top_k(
-                -jnp.abs(sdf_local), local_cap)
-            cand_pts = jnp.take(cand_grid, idx_local, axis=0)
-            all_neg = jax.lax.all_gather(neg_local, axis).reshape(-1)
-            all_pts = jax.lax.all_gather(cand_pts, axis).reshape(-1, 3)
-            _, sel = jax.lax.top_k(all_neg, cap)
-            pts_sel = jnp.take(all_pts, sel, axis=0)  # replicated (cap, 3)
+            pts_sel = select_band(latent, cand_grid)
         else:
             pts_sel = select_band(latent, grid_block)
 

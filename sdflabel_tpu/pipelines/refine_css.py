@@ -508,9 +508,12 @@ def refine_crops_batched(rt: RefineRuntime, sample: dict, preps: list):
             weight_3d=rt.cfg.weight_3d,
             surface_capacity=rt.surface_capacity,
             coarse_cells=rt.coarse_cells,
+            warm_band=getattr(rt.cfg, "warm_band", 0),
+            warm_refresh=getattr(rt.cfg, "warm_refresh", 10),
         )
         rt._refine_cache[key] = batched_refine.make_batched_refine(
-            rt.decoder, rcfg, rt.grid_points, (bh, bw), mesh=None
+            rt.decoder, rcfg, rt.grid_points, (bh, bw), mesh=None,
+            select_decoder=rt.select_decoder,
         )
     fn = rt._refine_cache[key]
     final, hist = fn(params0, jnp.asarray(Kb), jnp.asarray(nocs),

@@ -75,6 +75,12 @@ def _save_png(path, chw_array, normalize=True):
 def train_css(cfgp, max_epochs: int | None = None, mesh=None):
     """Train the CSS network (train_css.py:12 entry point)."""
     cfg = cfg_mod.TrainCfg.from_ini(cfgp)
+    # Fail fast on an unknown precision BEFORE touching data/checkpoints —
+    # a typo here must not silently train fp32.
+    if cfg.precision not in ("float32", "bfloat16", "float16"):
+        raise ValueError(
+            f"[train] precision must be float32|bfloat16|float16, got "
+            f"{cfg.precision!r}")
     variables = setup_css(cfg.css_path)
 
     os.makedirs(cfg.log_dir, exist_ok=True)
@@ -99,9 +105,10 @@ def train_css(cfgp, max_epochs: int | None = None, mesh=None):
         start_epoch = int(os.path.basename(latest).split("_")[1])
         print(f"Resumed training from {latest} (epoch {start_epoch}).")
 
-    # Mixed precision ([train] precision): bf16 conv compute, fp32
-    # params/BN/losses — the TPU analogue of torch AMP (the reference
-    # trains fp32 CUDA). float32 default preserves reference numerics.
+    # Mixed precision ([train] precision, validated above): bf16 conv
+    # compute, fp32 params/BN/losses — the TPU analogue of torch AMP (the
+    # reference trains fp32 CUDA). float32 default preserves reference
+    # numerics; float16 maps to bf16 like the refine precision knob.
     train_model = None
     if cfg.precision in ("bfloat16", "float16"):
         train_model = css_mod.CSSNet(use_running_average=False,

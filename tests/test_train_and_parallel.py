@@ -215,6 +215,17 @@ def test_batched_refine_sharded_runs():
     np.testing.assert_allclose(np.asarray(hist_c.loss),
                                np.asarray(hist.loss), rtol=1e-4, atol=1e-7)
 
+    # warm-started band through the vmapped path (the refresh cond's
+    # predicate is the unbatched scan counter, so vmap keeps real cond
+    # semantics): refresh=1 matches the exact batched trajectory.
+    cfg_warm = dataclasses.replace(cfg, warm_band=1024, warm_refresh=1)
+    fn_warm = batched_refine.make_batched_refine(
+        decoder, cfg_warm, grid_pts, crop_hw, mesh=None,
+        select_decoder=decoder)
+    final_w, hist_w = fn_warm(params0, Kb, nocs, frustum, fmask, pmasks)
+    np.testing.assert_allclose(np.asarray(hist_w.loss),
+                               np.asarray(hist.loss), rtol=1e-4, atol=1e-7)
+
 
 def test_rays_sharded_render_matches_dense():
     mesh = mesh_mod.make_mesh(n_data=1, n_rays=8)
