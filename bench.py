@@ -53,6 +53,11 @@ SCAN_ITERS = 120
 # rays/s metric; surface values stay fp32-exact by construction.
 SELECT_BF16 = bool(int(__import__("os").environ.get("BENCH_SELECT_BF16",
                                                     "0")))
+# BENCH_SELECT_PALLAS=1: fused Pallas stage-1 selection decode
+# (ops.mlp_pallas — VMEM-resident MLP, no inter-layer HBM traffic). Same
+# rank-only contract as SELECT_BF16; stage 2 stays fp32-exact.
+SELECT_PALLAS = bool(int(__import__("os").environ.get(
+    "BENCH_SELECT_PALLAS", "0")))
 # BENCH_WARM_BAND=N: warm-started band selection variant — full-grid
 # candidate refresh every BENCH_WARM_REFRESH iters, selection on the
 # N-point candidate set in between (engine.refine warm_band knob).
@@ -77,6 +82,11 @@ def build_ours():
     params = deepsdf.init_params(cfg, jax.random.PRNGKey(0))
     decoder = deepsdf.sdf_fn(cfg, params)
     select = deepsdf.select_sdf_fn(cfg, params) if SELECT_BF16 else None
+    if SELECT_PALLAS:
+        from sdflabel_tpu.ops import mlp_pallas
+
+        select = mlp_pallas.pallas_select_fn(cfg, params)
+        assert select is not None, "bench arch must be kernel-supported"
     grid_pts = grid_ops.generate_point_grid(GRID_DENSITY)
     rcfg = refine_mod.RefineConfig(iters=SCAN_ITERS,
                                    surface_capacity=CAPACITY,
@@ -307,6 +317,8 @@ def main():
         variant = f"warm_band={WARM_BAND},refresh={WARM_REFRESH}"
     if SELECT_BF16:
         variant = (variant + "," if variant else "") + "select_bf16"
+    if SELECT_PALLAS:
+        variant = (variant + "," if variant else "") + "select_pallas"
     try:
         if variant is not None:
             raise RuntimeError(

@@ -84,6 +84,13 @@ class RefineCfg:
     # float32 — under the default float16->bf16 map the whole decoder is
     # already bf16. See deepsdf.select_sdf_fn / grid.surface_from_decoder.
     select_bf16: bool = False
+    # Fused Pallas band-selection decode (TPU extension, ops.mlp_pallas):
+    # the stage-1 selection MLP runs as one VMEM-resident kernel (weights
+    # + point blocks on-chip across all layers — no inter-layer HBM
+    # round-trips). Same rank-only contract as select_bf16; selected
+    # points are always re-decoded exactly in stage 2. Requires a TPU
+    # backend and a supported architecture; silently falls back otherwise.
+    select_pallas: bool = False
     # Warm-started band selection (TPU extension, engine.refine): full-grid
     # candidate refresh every `warm_refresh` iterations, band top-k on the
     # `warm_band`-point candidate set in between. 0 = off (exact full-grid
@@ -125,6 +132,9 @@ class RefineCfg:
             select_bf16=read_cfg_bool(
                 cfgp, "optimization", "select_bf16", cls.select_bf16
             ),
+            select_pallas=read_cfg_bool(
+                cfgp, "optimization", "select_pallas", cls.select_pallas
+            ),
             warm_band=read_cfg_int(
                 cfgp, "optimization", "warm_band", cls.warm_band
             ),
@@ -157,6 +167,12 @@ class TrainCfg:
     # analogue); 'float32' (default) matches the reference's fp32 CUDA
     # training exactly. Any other value raises at pipeline start.
     precision: str = "float32"
+    # Fused Pallas cross-entropy for the loss towers (TPU extension,
+    # ops.ce_pallas): one streaming pass over the (B,256,H,W) logits, no
+    # materialized log-probs. Value/gradient-identical to the jnp path
+    # within fp32 reduction order. Requires a TPU backend and an
+    # unsharded (or 1-device) train step; ignored otherwise.
+    fused_ce: bool = False
     epochs: int = 5000000
     lr: float = 0.001
     queue_size: int = 10
@@ -179,6 +195,9 @@ class TrainCfg:
             batch_size=read_cfg_int(cfgp, "train", "batch_size", cls.batch_size),
             precision=read_cfg_string(
                 cfgp, "train", "precision", cls.precision
+            ),
+            fused_ce=read_cfg_bool(
+                cfgp, "train", "fused_ce", cls.fused_ce
             ),
             epochs=read_cfg_int(cfgp, "train", "epochs", cls.epochs),
             lr=read_cfg_float(cfgp, "train", "lr", cls.lr),

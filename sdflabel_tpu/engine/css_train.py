@@ -55,23 +55,33 @@ def cross_entropy_with_internal_softmax(logits, targets, class_axis=1):
     return -jnp.mean(picked)
 
 
-def css_losses(pred: dict, batch: dict) -> dict:
-    """All training loss terms (train_css.py:70-80)."""
+def css_losses(pred: dict, batch: dict, fused_ce: bool = False) -> dict:
+    """All training loss terms (train_css.py:70-80).
+
+    fused_ce=True routes each CE tower through the fused Pallas kernel
+    (ops.ce_pallas — one streaming pass, no materialized log-probs) when
+    the shape is kernel-supported; semantics are identical (same
+    internal log-softmax, mean over all pixels). TPU-only: callers gate
+    on the backend.
+    """
     mask_gt = batch["mask"].astype(jnp.int64)  # (B,H,W)
     uvw_gt = batch["uvw"].astype(jnp.int64)  # (B,3,H,W)
     mask_ext = mask_gt[:, None].astype(pred["u"].dtype)  # (B,1,H,W)
 
-    loss_u = cross_entropy_with_internal_softmax(
-        pred["u"] * mask_ext, uvw_gt[:, 0] * mask_gt
-    )
-    loss_v = cross_entropy_with_internal_softmax(
-        pred["v"] * mask_ext, uvw_gt[:, 1] * mask_gt
-    )
-    loss_w = cross_entropy_with_internal_softmax(
-        pred["w"] * mask_ext, uvw_gt[:, 2] * mask_gt
-    )
+    ce = cross_entropy_with_internal_softmax
+    if fused_ce:
+        from sdflabel_tpu.ops import ce_pallas
+
+        def ce(logits, targets):  # noqa: F811
+            if ce_pallas.supported(logits.shape, targets.shape):
+                return ce_pallas.fused_cross_entropy(logits, targets)
+            return cross_entropy_with_internal_softmax(logits, targets)
+
+    loss_u = ce(pred["u"] * mask_ext, uvw_gt[:, 0] * mask_gt)
+    loss_v = ce(pred["v"] * mask_ext, uvw_gt[:, 1] * mask_gt)
+    loss_w = ce(pred["w"] * mask_ext, uvw_gt[:, 2] * mask_gt)
     loss_uvw = loss_u + loss_v + loss_w
-    loss_mask = cross_entropy_with_internal_softmax(pred["mask"], mask_gt) * 2.0
+    loss_mask = ce(pred["mask"], mask_gt) * 2.0
     loss_latent = jnp.mean(
         jnp.square(pred["latent"] - batch["latent"].astype(pred["latent"].dtype))
     )
@@ -107,11 +117,16 @@ def init_train_state(variables: Any, lr: float) -> TrainState:
     )
 
 
-def make_train_step(lr: float, sm_hardness: float = 100.0, model=None):
+def make_train_step(lr: float, sm_hardness: float = 100.0, model=None,
+                    fused_ce: bool = False):
     """Build the jittable train step: (state, batch) -> (state, metrics).
 
     model: optional flax module (e.g. css_fused.CSSNetFused for the
     grouped-conv fused-head variant); defaults to the canonical CSSNet.
+    fused_ce: route the CE towers through the fused Pallas kernel
+    (ops.ce_pallas). TPU-only; note the kernel is not auto-partitionable,
+    so keep it off when the train step is pjit-sharded over a >1-device
+    mesh (shard_train_step warns).
     """
     if model is None:
         model = css_mod.CSSNet(use_running_average=False,
@@ -127,7 +142,7 @@ def make_train_step(lr: float, sm_hardness: float = 100.0, model=None):
                 batch["rgb"],
                 mutable=["batch_stats"],
             )
-            losses = css_losses(pred, batch)
+            losses = css_losses(pred, batch, fused_ce=fused_ce)
             return losses["loss"], (losses, updates["batch_stats"])
 
         (loss, (metrics, new_stats)), grads = jax.value_and_grad(

@@ -112,6 +112,18 @@ class RefineRuntime:
             self.select_decoder = deepsdf.select_sdf_fn(
                 dsdf_cfg, dsdf_params
             )
+        # Fused Pallas selection decode ([optimization] select_pallas):
+        # VMEM-resident stage-1 MLP (ops.mlp_pallas) — same rank-only
+        # contract, no inter-layer HBM traffic. Wins over select_bf16 when
+        # both are set; requires a TPU backend (the kernel is a Mosaic
+        # program) and a supported architecture, else falls back silently.
+        if (getattr(cfg, "select_pallas", False)
+                and jax.default_backend() == "tpu"):
+            from sdflabel_tpu.ops import mlp_pallas
+
+            sel = mlp_pallas.pallas_select_fn(dsdf_cfg, dsdf_params)
+            if sel is not None:
+                self.select_decoder = sel
         self.grid_points = grid_ops.generate_point_grid(cfg.grid_density)
         self.surface_capacity = (
             surface_capacity if surface_capacity is not None

@@ -113,7 +113,12 @@ def train_css(cfgp, max_epochs: int | None = None, mesh=None):
     if cfg.precision in ("bfloat16", "float16"):
         train_model = css_mod.CSSNet(use_running_average=False,
                                      dtype=jnp.bfloat16)
-    step_fn = css_train.make_train_step(cfg.lr, model=train_model)
+    # Fused Pallas CE ([train] fused_ce): TPU-only, and the kernel has no
+    # partitioning rule — keep it off under a >1-device mesh.
+    use_fused_ce = (cfg.fused_ce and jax.default_backend() == "tpu"
+                    and (mesh is None or mesh.size == 1))
+    step_fn = css_train.make_train_step(cfg.lr, model=train_model,
+                                        fused_ce=use_fused_ce)
     if mesh is not None:
         step_fn = css_train.shard_train_step(step_fn, mesh)
     else:
