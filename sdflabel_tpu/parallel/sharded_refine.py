@@ -85,6 +85,7 @@ def make_sharded_refine_fn(
     axis: str = "rays",
     use_fused: bool | None = None,
     windowed_2d: bool | None = None,
+    select_decoder=None,
 ):
     """Build the sharded refine function.
 
@@ -113,6 +114,14 @@ def make_sharded_refine_fn(
     inside a lax.cond whose predicate is the (replicated) loop counter —
     every chip takes the same branch, so the branch collectives stay
     SPMD-coherent. Warm iterations pay only the sharded stage-2 decode.
+
+    select_decoder: optional cheaper decoder for the NON-differentiable
+    selection passes only (stage 0/1 and the warm refresh) — e.g.
+    deepsdf.select_sdf_fn's bf16 twin or mlp_pallas.pallas_select_fn's
+    fused kernel, which runs per-shard inside the shard_map exactly like
+    the fused splat. Stage 2 always decodes with `sdf_decoder`, so
+    surface values/normals/mask stay exact (same rank-only contract as
+    engine.refine's select_decoder).
     """
     h, w = crop_hw
     n_dev = mesh.shape[axis]
@@ -188,11 +197,13 @@ def make_sharded_refine_fn(
     cap_pad = _round_up(cap, n_dev)
     c2_local = cap_pad // n_dev
 
+    sel_dec = select_decoder if select_decoder is not None else sdf_decoder
+
     def select_band(latent, grid_block):
         """Grid-sharded stage-1: local decode + top-k, all_gather, global
         top-k -> replicated (cap, 3) selected points."""
         sdf_local = jax.lax.stop_gradient(
-            sdf_decoder(latent, grid_block).reshape(-1)
+            sel_dec(latent, grid_block).reshape(-1)
         )
         neg_local, idx_local = jax.lax.top_k(-jnp.abs(sdf_local), local_cap)
         cand_pts = jnp.take(grid_block, idx_local, axis=0)
@@ -231,7 +242,7 @@ def make_sharded_refine_fn(
             # then the shared local-top-k/all_gather/global-top-k tail
             blk = grid_block.reshape(-1, r3, 3)  # (cells_local, r^3, 3)
             sdf_rep = jax.lax.stop_gradient(
-                sdf_decoder(latent, blk[:, 0]).reshape(-1)
+                sel_dec(latent, blk[:, 0]).reshape(-1)
             )
             _, cell_idx = jax.lax.top_k(-jnp.abs(sdf_rep), kc_local)
             cand_grid = jnp.take(blk, cell_idx, axis=0).reshape(-1, 3)

@@ -197,6 +197,45 @@ def test_sharded_warm_band_matches(problem):
         )
 
 
+def test_sharded_select_decoder_matches(problem):
+    """A cheaper selection decoder (bf16 twin here; the Pallas kernel in
+    production) through every selection branch — exact stage-1, the
+    coarse-to-fine stage-0, and the warm-band refresh — reproduces the
+    exact sharded trajectory: the sphere band's |sdf| margins dwarf bf16
+    eps so the selected set is identical, and stage 2 always re-decodes
+    with the exact decoder."""
+    import dataclasses
+
+    (decoder, cfg, grid_pts, K, crop_hw, nocs, frustum, fmask,
+     init) = problem
+    mesh = mesh_mod.make_mesh(n_data=1, n_rays=8)
+    cfg5 = dataclasses.replace(cfg, iters=5)
+
+    def select_dec(latent, p):
+        return decoder(latent.astype(jnp.bfloat16),
+                       p.astype(jnp.bfloat16)).astype(jnp.float32)
+
+    exact_fn = sharded_refine.make_sharded_refine_fn(
+        decoder, cfg5, np.asarray(grid_pts), K, crop_hw, mesh, axis="rays"
+    )
+    _, hist_exact = exact_fn(init, nocs, frustum, fmask)
+
+    variants = {
+        "stage1": cfg5,
+        "c2f": dataclasses.replace(cfg5, coarse_cells=600),
+        "warm": dataclasses.replace(cfg5, warm_band=cfg.surface_capacity,
+                                    warm_refresh=2),
+    }
+    for name, vcfg in variants.items():
+        fn = sharded_refine.make_sharded_refine_fn(
+            decoder, vcfg, np.asarray(grid_pts), K, crop_hw, mesh,
+            axis="rays", select_decoder=select_dec,
+        )
+        _, hist = fn(init, nocs, frustum, fmask)
+        np.testing.assert_allclose(np.asarray(hist), np.asarray(hist_exact),
+                                   rtol=2e-3, err_msg=name)
+
+
 def test_sharded_gradient_parity_per_loss_path():
     """One optimizer step, sharded vs single-device, each loss path in
     isolation: SGD steps expose the raw gradients, so this pins the
