@@ -323,6 +323,69 @@ def params_from_torch_state(
     return params
 
 
+def torch_state_from_params(cfg: DeepSDFConfig, params: dict) -> dict:
+    """Inverse of params_from_torch_state: our pytree -> a reference-layout
+    state dict (numpy values, torch Linear (out,in) orientation), so
+    decoders trained in-framework (engine/deepsdf_train.py) save as
+    drop-in `deepsdf.pt` checkpoints for the reference loader
+    (workspace.py:38-72,167-188) and for our own importer."""
+
+    state: dict[str, np.ndarray] = {}
+    for l in range(cfg.num_layers - 1):
+        p = params[f"lin{l}"]
+        if cfg.weight_norm and l in cfg.norm_layers:
+            state[f"lin{l}.weight_v"] = np.asarray(p["v"]).T
+            state[f"lin{l}.weight_g"] = np.asarray(p["g"]).reshape(-1, 1)
+            state[f"lin{l}.bias"] = np.asarray(p["b"])
+        else:
+            state[f"lin{l}.weight"] = np.asarray(p["w"]).T
+            state[f"lin{l}.bias"] = np.asarray(p["b"])
+            if (not cfg.weight_norm) and l in cfg.norm_layers:
+                state[f"bn{l}.weight"] = np.asarray(params[f"ln{l}"]["scale"])
+                state[f"bn{l}.bias"] = np.asarray(params[f"ln{l}"]["bias"])
+    for i, idx in enumerate((0, 2, 4)):
+        p = params["scale_net"][i]
+        state[f"scale_net.{idx}.weight"] = np.asarray(p["w"]).T
+        state[f"scale_net.{idx}.bias"] = np.asarray(p["b"])
+    return state
+
+
+def specs_from_config(cfg: DeepSDFConfig) -> dict:
+    """DeepSDF specs.json NetworkSpecs dict for a config (so exported
+    checkpoints round-trip through DeepSDFConfig.from_specs)."""
+    return {
+        "CodeLength": cfg.latent_size,
+        "NetworkSpecs": {
+            "dims": list(cfg.dims),
+            "dropout": list(cfg.dropout),
+            "dropout_prob": cfg.dropout_prob,
+            "norm_layers": list(cfg.norm_layers),
+            "latent_in": list(cfg.latent_in),
+            "weight_norm": cfg.weight_norm,
+            "xyz_in_all": cfg.xyz_in_all,
+            "use_tanh": cfg.use_tanh,
+            "latent_dropout": cfg.latent_dropout,
+        },
+    }
+
+
+def save_torch_checkpoint(path: str, cfg: DeepSDFConfig, params: dict,
+                          epoch: int = 0) -> None:
+    """Write the single-file convention pair (<name>.pt + <name>.json) in
+    the reference format (workspace.py:167-188): torch-loadable state
+    dict under 'model_state_dict' plus the specs json."""
+    import os
+
+    import torch
+
+    # np.array copies: device_get arrays can be non-writable, which torch warns on
+    state = {k: torch.from_numpy(np.array(v))
+             for k, v in torch_state_from_params(cfg, params).items()}
+    torch.save({"epoch": epoch, "model_state_dict": state}, path)
+    with open(os.path.splitext(path)[0] + ".json", "w") as f:
+        json.dump(specs_from_config(cfg), f, indent=2)
+
+
 def load_torch_checkpoint(path: str, dtype=jnp.float32) -> tuple[DeepSDFConfig, dict]:
     """Load a reference-format checkpoint pair (<name>.pt + <name>.json).
 
