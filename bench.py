@@ -303,7 +303,43 @@ def bench_reference(max_seconds=120.0):
 import os  # noqa: E402  (used in bench_reference)
 
 
+def probe_device(timeout_s: int = 600):
+    """Fail fast (one diagnostic JSON line, rc=3) when the TPU backend is
+    unreachable, instead of hanging forever in backend init.
+
+    The axon backend retries init internally for tens of minutes when the
+    tunnel/device is down (observed: 29 min before UNAVAILABLE), and a
+    fresh boot's first-op warmup can itself take minutes — so the watchdog
+    is generous but bounded. The timer thread fires os._exit because the
+    main thread is stuck inside backend init and cannot be interrupted.
+    """
+    import threading
+
+    done = threading.Event()
+
+    def bail():
+        if done.is_set():
+            return
+        print(json.dumps({
+            "metric": "refine_rays_per_s_fwd_bwd",
+            "value": 0.0,
+            "unit": "rays/s/chip (32x32 render, full refine iter fwd+bwd)",
+            "vs_baseline": 0.0,
+            "error": f"device backend unavailable: no trivial op completed "
+                     f"within {timeout_s}s",
+        }), flush=True)
+        os._exit(3)
+
+    timer = threading.Timer(timeout_s, bail)
+    timer.daemon = True
+    timer.start()
+    np.asarray(jax.numpy.ones((8, 8)) @ jax.numpy.ones((8, 8)))
+    done.set()
+    timer.cancel()
+
+
 def main():
+    probe_device()
     rays_per_sec, iters_per_sec = bench_ours()
 
     # Speed-of-light accounting (the actionable number): achieved FLOP/s
