@@ -201,6 +201,11 @@ class CSSNet(nn.Module):
     use_running_average: bool = True
     sm_hardness: float = 100.0  # resnet_css.py:230
     width: int = 64
+    # DeepSDF latent dimensionality predicted by the latent head. 3 is the
+    # reference architecture (resnet_css.py:194 hardcodes out_lat -> 3 for
+    # its car decoder); other sizes pair the CSS with decoders trained
+    # in-framework (pipelines/train_deepsdf + make_crops).
+    latent_size: int = 3
     # Mixed-precision conv compute (TPU extension, OFF by default):
     # dtype=bfloat16 runs every backbone/decoder conv matmul in bf16 while
     # params, BatchNorm, the 1x1 output heads, and the log-softmax decode
@@ -235,8 +240,9 @@ class CSSNet(nn.Module):
                         dtype=dt)(x4)
 
         # latent head
-        x_lat = nn.Conv(3, (1, 1), name="out_lat")(x4)
-        x_lat = jnp.mean(x_lat.reshape(x_lat.shape[0], -1, 3), axis=1)
+        x_lat = nn.Conv(self.latent_size, (1, 1), name="out_lat")(x4)
+        x_lat = jnp.mean(
+            x_lat.reshape(x_lat.shape[0], -1, self.latent_size), axis=1)
         latent = project_vecs_onto_sphere(x_lat)
 
         def head(prefix, out_ch):
