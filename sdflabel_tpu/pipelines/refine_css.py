@@ -152,8 +152,11 @@ class RefineRuntime:
         )
         self.key = jax.random.PRNGKey(rng_seed)
 
+        # latent head sized to the LOADED decoder (3 for the reference car
+        # checkpoints; in-framework decoders may differ — models/css.py)
         self._css_model = css_mod.CSSNet(
-            use_running_average=True, width=getattr(cfg, "css_width", 64))
+            use_running_average=True, width=getattr(cfg, "css_width", 64),
+            latent_size=dsdf_cfg.latent_size)
         self._css_apply = jax.jit(self._css_model.apply)
         self._surface = jax.jit(
             lambda latent: grid_ops.surface_from_decoder(
@@ -256,8 +259,9 @@ class RefineRuntime:
 def setup_runtime(cfgp_or_cfg, rng_seed: int = 1) -> RefineRuntime:
     cfg = (cfgp_or_cfg if isinstance(cfgp_or_cfg, cfg_mod.RefineCfg)
            else cfg_mod.RefineCfg.from_ini(cfgp_or_cfg))
-    css_variables = setup_css(cfg.css_path, width=cfg.css_width)
     dsdf_cfg, dsdf_params = deepsdf.load_torch_checkpoint(cfg.deepsdf_path)
+    css_variables = setup_css(cfg.css_path, width=cfg.css_width,
+                              latent_size=dsdf_cfg.latent_size)
     return RefineRuntime(cfg, css_variables, dsdf_cfg, dsdf_params, rng_seed,
                          coarse_cells=cfg.coarse_cells or None)
 

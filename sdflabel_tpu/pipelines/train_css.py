@@ -37,13 +37,15 @@ def load_checkpoint(path: str, template) -> dict:
 
 
 def setup_css(model_path: str | None = None, rng_seed: int = 0,
-              width: int = 64):
+              width: int = 64, latent_size: int = 3):
     """Initialize (or load) CSS variables (resnet_css.py:265-296 analogue).
 
-    model_path: .pt (torch state dict, imported; width must be 64) or
-    .msgpack (ours, any width).
+    model_path: .pt (torch state dict, imported; width must be 64 and
+    latent_size 3 — the reference architecture) or .msgpack (ours, any
+    width / latent size).
     """
-    model = css_mod.CSSNet(use_running_average=True, width=width)
+    model = css_mod.CSSNet(use_running_average=True, width=width,
+                           latent_size=latent_size)
     variables = model.init(
         jax.random.PRNGKey(rng_seed), jnp.zeros((1, 3, 128, 128))
     )
@@ -81,11 +83,13 @@ def train_css(cfgp, max_epochs: int | None = None, mesh=None):
         raise ValueError(
             f"[train] precision must be float32|bfloat16|float16, got "
             f"{cfg.precision!r}")
-    variables = setup_css(cfg.css_path)
-
     os.makedirs(cfg.log_dir, exist_ok=True)
     trainset = Crops(cfg.data_path,
                      seed=None if cfg.seed < 0 else cfg.seed)
+    # latent head sized from the crops DB supervision (3 = the reference
+    # architecture; in-framework DBs from make_crops may differ)
+    latent_size = len(trainset.gt["0"][0]["latent"])
+    variables = setup_css(cfg.css_path, latent_size=latent_size)
 
     state = css_train.init_train_state(variables, cfg.lr)
 
@@ -109,10 +113,10 @@ def train_css(cfgp, max_epochs: int | None = None, mesh=None):
     # compute, fp32 params/BN/losses — the TPU analogue of torch AMP (the
     # reference trains fp32 CUDA). float32 default preserves reference
     # numerics; float16 maps to bf16 like the refine precision knob.
-    train_model = None
-    if cfg.precision in ("bfloat16", "float16"):
-        train_model = css_mod.CSSNet(use_running_average=False,
-                                     dtype=jnp.bfloat16)
+    train_model = css_mod.CSSNet(
+        use_running_average=False, latent_size=latent_size,
+        dtype=(jnp.bfloat16 if cfg.precision in ("bfloat16", "float16")
+               else jnp.float32))
     # Fused Pallas CE ([train] fused_ce): TPU-only, and the kernel has no
     # partitioning rule — keep it off under a >1-device mesh.
     use_fused_ce = (cfg.fused_ce and jax.default_backend() == "tpu"
