@@ -11,8 +11,10 @@ its own `deepsdf.pt` end to end:
     are optimized jointly with the decoder weights,
   * clamped-L1 data term: |clamp(pred, ±d) - clamp(gt, ±d)| summed over
     the step's samples / num_samples (ClampingDistance),
-  * code regularization: lambda * min(1, epoch/100) * sum ||z||^2
-    / num_samples (CodeRegularizationLambda with its epoch-100 warmup),
+  * code regularization: lambda * min(1, epoch/100) * mean_scenes ||z||
+    (CodeRegularizationLambda with its epoch-100 warmup; the external
+    trainer sums per-ROW latent norms over B*S rows / num_sdf_samples,
+    which reduces to the per-scene mean norm),
   * code init N(0, (CodeInitStdDev/sqrt(L))^2), optional CodeBound
     max-norm projection after each step,
   * two Adam groups (decoder lr / codes lr) with staircase step decay
@@ -56,10 +58,15 @@ class DeepSDFTrainConfig:
     code_bound: float | None = None   # CodeBound (max-norm projection)
     lr_decoder: float = 5e-4          # LearningRateSchedule[0].Initial
     lr_codes: float = 1e-3            # LearningRateSchedule[1].Initial
-    lr_interval: int = 500            # .Interval (epochs)
-    lr_factor: float = 0.5            # .Factor
+    lr_interval: int = 500            # [0].Interval (epochs)
+    lr_factor: float = 0.5            # [0].Factor
+    lr_interval_codes: int = 500      # [1].Interval (epochs)
+    lr_factor_codes: float = 0.5      # [1].Factor
     scale_weight: float = 0.0         # sdflabel extension: scale-head MSE
-    grad_clip: float | None = None    # GradientNormClip (optional)
+    # GradientNormClipping: the external trainer clips the DECODER
+    # parameters only (torch clip_grad_norm_(decoder.parameters())) —
+    # latent-code gradients are never clipped.
+    grad_clip: float | None = None
 
     @classmethod
     def from_specs(cls, specs: dict) -> "DeepSDFTrainConfig":
@@ -86,6 +93,12 @@ class DeepSDFTrainConfig:
             kw["lr_factor"] = float(sched[0].get("Factor", cls.lr_factor))
             if len(sched) > 1:
                 kw["lr_codes"] = float(sched[1].get("Initial", cls.lr_codes))
+                kw["lr_interval_codes"] = int(
+                    sched[1].get("Interval", cls.lr_interval_codes))
+                kw["lr_factor_codes"] = float(
+                    sched[1].get("Factor", cls.lr_factor_codes))
+        if specs.get("GradientNormClipping") is not None:
+            kw["grad_clip"] = float(specs["GradientNormClipping"])
         if "ScaleSupervisionWeight" in specs:  # sdflabel_tpu extension key
             kw["scale_weight"] = float(specs["ScaleSupervisionWeight"])
         return cls(**kw)
@@ -106,24 +119,37 @@ def init_codes(num_scenes: int, latent_size: int, key: jax.Array,
 
 
 def make_optimizer(tcfg: DeepSDFTrainConfig, steps_per_epoch: int):
-    """Two Adam groups with the staircase epoch-interval decay."""
+    """Two Adam groups with the staircase epoch-interval decay.
 
-    def sched(initial):
-        return optax.exponential_decay(
-            initial,
-            transition_steps=max(1, tcfg.lr_interval * steps_per_epoch),
-            decay_rate=tcfg.lr_factor,
-            staircase=True,
-        )
+    The external trainer applies lr * factor^(epoch // interval) with
+    1-BASED epochs at the top of each epoch, so the decayed rate is live
+    for the whole of 1-based epoch `interval` — hence the +1 below (a
+    plain optax staircase on step count would decay one epoch late).
+    Gradient clipping wraps the decoder group only (the reference clips
+    decoder.parameters(); code gradients are never clipped).
+    """
+    spe = max(1, steps_per_epoch)
 
-    def group(initial):
-        tx = optax.adam(sched(initial))
-        if tcfg.grad_clip is not None:
-            tx = optax.chain(optax.clip_by_global_norm(tcfg.grad_clip), tx)
+    def sched(initial, interval, factor):
+        def lr(count):
+            epoch_1based = count // spe + 1
+            return initial * jnp.power(
+                factor, (epoch_1based // max(1, interval)).astype(
+                    jnp.float32))
+
+        return lr
+
+    def group(initial, interval, factor, clip):
+        tx = optax.adam(sched(initial, interval, factor))
+        if clip is not None:
+            tx = optax.chain(optax.clip_by_global_norm(clip), tx)
         return tx
 
     return optax.multi_transform(
-        {"dec": group(tcfg.lr_decoder), "codes": group(tcfg.lr_codes)},
+        {"dec": group(tcfg.lr_decoder, tcfg.lr_interval, tcfg.lr_factor,
+                      tcfg.grad_clip),
+         "codes": group(tcfg.lr_codes, tcfg.lr_interval_codes,
+                        tcfg.lr_factor_codes, None)},
         lambda pc: (jax.tree.map(lambda _: "dec", pc[0]), "codes"),
     )
 
@@ -194,8 +220,11 @@ def make_train_step(cfg: deepsdf.DeepSDFConfig, tcfg: DeepSDFTrainConfig,
             if tcfg.code_reg:
                 warm = jnp.minimum(1.0, (epoch + 1).astype(jnp.float32)
                                    / 100.0)
+                # external trainer: sum ||z_row|| over the B*S per-sample
+                # latent rows / num_sdf_samples — each scene contributes S
+                # identical rows, so the term reduces to mean_scenes ||z||
                 reg = (tcfg.code_reg_lambda * warm
-                       * jnp.sum(jnp.square(z)) / num)
+                       * jnp.mean(jnp.linalg.norm(z, axis=-1)))
             lsc = 0.0
             if tcfg.scale_weight > 0.0:
                 tgt = jnp.take(scales, scene_idx, axis=0)  # (B,)

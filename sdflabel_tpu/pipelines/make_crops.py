@@ -48,11 +48,14 @@ _NOMINAL_RADIUS = 1.1
 
 def make_render_fn(decoder_fn, crop_px: int, grid_density: int,
                    capacity: int):
-    """One jitted program: (latent, yaw, trans, K) -> (nocs, mask, normals).
+    """One jitted program:
+    (latent, yaw, trans, K) -> (nocs, mask, normals, pose).
 
-    Outputs are (3, H, W) NOCS in [0, 1], (H, W) bool mask, and (3, H, W)
+    Outputs are (3, H, W) NOCS in [0, 1], (H, W) bool mask, (3, H, W)
     camera-frame normals encoded as (n + 1) / 2 (the rasterizer's normals
-    channel, rasterer.py:139).
+    channel, rasterer.py:139), and the 4x4 render pose (returned from the
+    same program — rebuilding it eagerly per crop would pay ~10 dispatch
+    RTTs on remote-dispatch backends).
     """
     grid_pts = grid_ops.generate_point_grid(grid_density)
 
@@ -65,7 +68,8 @@ def make_render_fn(decoder_fn, crop_px: int, grid_density: int,
             K, (crop_px, crop_px), surf.points, surf.normals, surf.normals,
             pose, point_mask=surf.mask, rot="dcm", primitives="disc",
             output_nocs=True)
-        return rendering.color, rendering.mask[0] > 0.5, rendering.normals
+        return (rendering.color, rendering.mask[0] > 0.5,
+                rendering.normals, pose)
 
     return render
 
@@ -111,7 +115,7 @@ def _synthesize_rgb(rng: np.random.RandomState, nocs: np.ndarray,
         albedo = np.broadcast_to(rng.uniform(0.1, 0.9, 3).astype(np.float32),
                                  (h, w, 3))
     elif mode == 1:  # NOCS as texture (the bundled demo's convention)
-        albedo = np.transpose(nocs, (1, 2, 0))
+        albedo = np.clip(np.transpose(nocs, (1, 2, 0)), 0.0, 1.0)
     else:  # grayscale
         albedo = np.broadcast_to(
             np.float32(rng.uniform(0.2, 0.8)), (h, w, 3))
@@ -145,12 +149,27 @@ def _quantize_uvw(nocs: np.ndarray, mask: np.ndarray) -> np.ndarray:
     data.crops), so an on-object pixel whose THREE bins all quantize to 0
     (NOCS near the origin corner) would punch a hole in the mask — those
     rare pixels get bin 1 in every channel.
+
+    Composited NOCS can leave [0, 1] slightly (shapes may exceed the unit
+    cube, and (±coord + 1)/2 goes negative for coords < -1); clip BEFORE
+    the uint8 cast — a negative value would otherwise wrap to bin ~255.
     """
+    nocs = np.clip(nocs, 0.0, 1.0)
     uvw = np.round(np.transpose(nocs, (1, 2, 0)) * 255.0).astype(np.uint8)
     uvw[~mask] = 0
     hole = mask & (uvw.sum(-1) == 0)
     uvw[hole] = 1
     return uvw
+
+
+def _jitter_latent(lat: np.ndarray, rng: np.random.RandomState,
+                   jitter: float) -> np.ndarray:
+    """Gaussian-perturb a latent, rescaled back to its ORIGINAL norm —
+    trained tables are not unit-norm, and the jitter must not project
+    them onto the sphere."""
+    norm0 = np.linalg.norm(lat)
+    out = lat + rng.randn(*lat.shape).astype(np.float32) * jitter
+    return out * (norm0 / (np.linalg.norm(out) + 1e-9))
 
 
 def sample_unit_latents(n: int, latent_size: int,
@@ -190,8 +209,10 @@ def make_crops(out_dir: str, decoder_fn, latents: np.ndarray, n_crops: int,
     """Render `n_crops` crops into `out_dir` in the crops-DB layout.
 
     Latents are cycled through `latents` (optionally perturbed by
-    `latent_jitter` gaussian noise, renormalized) so every table entry is
-    covered before repetition. Returns the crops.json dict.
+    `latent_jitter` gaussian noise, rescaled back to the entry's ORIGINAL
+    norm — trained tables are not unit-norm, and the jitter must not move
+    them onto the sphere) so every table entry is covered before
+    repetition. Returns the crops.json dict.
     """
     from PIL import Image
 
@@ -203,16 +224,16 @@ def make_crops(out_dir: str, decoder_fn, latents: np.ndarray, n_crops: int,
     for idx in range(n_crops):
         lat = latents[idx % len(latents)].copy()
         if latent_jitter > 0.0:
-            lat = lat + rng.randn(*lat.shape).astype(np.float32) * latent_jitter
-            lat /= np.linalg.norm(lat) + 1e-9
+            lat = _jitter_latent(lat, rng, latent_jitter)
         yaw, trans, K = _sample_view(rng, crop_px)
 
-        nocs, mask, normals_enc = render(
+        nocs, mask, normals_enc, pose = render(
             jnp.asarray(lat), jnp.asarray([yaw], np.float32),
             jnp.asarray(trans), jnp.asarray(K))
         nocs = np.asarray(nocs)
         mask = np.asarray(mask)
         normals_enc = np.asarray(normals_enc)
+        pose = np.asarray(pose)
 
         rgb = _synthesize_rgb(rng, nocs, mask, normals_enc)
         uvw = _quantize_uvw(nocs, mask)
@@ -220,8 +241,6 @@ def make_crops(out_dir: str, decoder_fn, latents: np.ndarray, n_crops: int,
             os.path.join(out_dir, f"{idx:05d}_rgb.png"))
         Image.fromarray(uvw).save(os.path.join(out_dir, f"{idx:05d}_uvw.png"))
 
-        pose = np.asarray(refine_mod.build_render_pose(
-            jnp.asarray([yaw], np.float32), jnp.asarray(trans)))
         db[str(idx)] = [{
             "latent": [float(v) for v in lat],
             "extrinsics": [float(v) for v in pose.flatten()],

@@ -125,3 +125,26 @@ def test_generated_crops_train_css(crops_out):
     state, m1 = step(state, batch)
     assert np.isfinite(float(m0["loss"]))
     assert float(m1["loss"]) < float(m0["loss"])
+
+
+def test_quantize_uvw_clips_out_of_range_nocs():
+    """Composited NOCS slightly outside [0,1] (shapes beyond the unit
+    cube / x-flip) must clip, not wrap around the uint8 cast."""
+    nocs = np.full((3, 2, 2), -0.025, np.float32)
+    nocs[:, 0, 0] = 1.04
+    mask = np.ones((2, 2), bool)
+    uvw = mc._quantize_uvw(nocs, mask)
+    assert uvw.max() <= 255 and uvw[0, 0, 0] == 255
+    # negative NOCS -> bin 0, then hole-plugged to 1 (NOT wrapped to ~250)
+    assert (uvw[0, 1] <= 1).all() and (uvw[1, 1] <= 1).all()
+
+
+def test_latent_jitter_preserves_norm():
+    """Trained latent tables are not unit-norm; jitter must stay at the
+    entry's original norm instead of projecting onto the sphere."""
+    rng = np.random.RandomState(0)
+    lat = np.array([0.6, 0.0, 0.0], np.float32)  # norm 0.6
+    for _ in range(5):
+        z = mc._jitter_latent(lat, rng, 0.05)
+        assert np.linalg.norm(z) == pytest.approx(0.6, rel=1e-5)
+        assert not np.allclose(z, lat)  # actually perturbed
