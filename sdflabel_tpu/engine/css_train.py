@@ -14,9 +14,12 @@ Behavioral parity target: pipelines/train_css.py:29-91 —
 TPU design: the train step is one pjit'd function; the batch is sharded
 over the mesh 'data' axis and parameters are replicated — XLA inserts the
 gradient psum automatically from the sharding annotations (no hand-written
-collectives). BatchNorm batch statistics are computed per-shard (like the
-reference's single-GPU BN; cross-replica sync-BN is not what the reference
-does).
+collectives). Because jit programs have GLOBAL (single-logical-device)
+semantics, BatchNorm batch statistics reduce over the full global batch
+(XLA inserts the cross-chip all-reduce) — i.e. sync-BN over the same
+batch-of-13 the reference's single GPU normalizes over, which is exactly
+why the dp step matches the single-device step bit-for-bit
+(test_train_and_parallel.py).
 """
 
 from __future__ import annotations
@@ -64,8 +67,10 @@ def css_losses(pred: dict, batch: dict, fused_ce: bool = False) -> dict:
     internal log-softmax, mean over all pixels). TPU-only: callers gate
     on the backend.
     """
-    mask_gt = batch["mask"].astype(jnp.int64)  # (B,H,W)
-    uvw_gt = batch["uvw"].astype(jnp.int64)  # (B,3,H,W)
+    # int32 (labels < 256): int64 is unavailable under default JAX config
+    # and would silently truncate with a per-trace warning
+    mask_gt = batch["mask"].astype(jnp.int32)  # (B,H,W)
+    uvw_gt = batch["uvw"].astype(jnp.int32)  # (B,3,H,W)
     mask_ext = mask_gt[:, None].astype(pred["u"].dtype)  # (B,1,H,W)
 
     ce = cross_entropy_with_internal_softmax
@@ -124,9 +129,9 @@ def make_train_step(lr: float, sm_hardness: float = 100.0, model=None,
     model: optional flax module (e.g. css_fused.CSSNetFused for the
     grouped-conv fused-head variant); defaults to the canonical CSSNet.
     fused_ce: route the CE towers through the fused Pallas kernel
-    (ops.ce_pallas). TPU-only; note the kernel is not auto-partitionable,
-    so keep it off when the train step is pjit-sharded over a >1-device
-    mesh (shard_train_step warns).
+    (ops.ce_pallas). TPU-only; the kernel is not auto-partitionable, so it
+    must stay off when the step is pjit-sharded over a >1-device mesh
+    (shard_train_step raises on that combination).
     """
     if model is None:
         model = css_mod.CSSNet(use_running_average=False,
@@ -159,6 +164,10 @@ def make_train_step(lr: float, sm_hardness: float = 100.0, model=None,
         )
         return new_state, metrics
 
+    # inspected by shard_train_step: the Pallas CE kernel cannot be
+    # partitioned over a >1-device mesh
+    train_step.uses_fused_ce = fused_ce
+
     return train_step
 
 
@@ -169,6 +178,12 @@ def shard_train_step(train_step, mesh):
     replaces the reference's absent DP with mesh-native psum).
     """
     from jax.sharding import NamedSharding, PartitionSpec as P
+
+    if getattr(train_step, "uses_fused_ce", False) and mesh.size > 1:
+        raise ValueError(
+            "fused_ce is not partitionable over a >1-device mesh — build "
+            "the step with make_train_step(fused_ce=False) for sharded "
+            "training (the jnp CE path is value-identical)")
 
     replicated = NamedSharding(mesh, P())
     batch_sharded = NamedSharding(mesh, P("data"))

@@ -79,6 +79,28 @@ def loss_3d_terms(
     return total, cnt
 
 
+def disc_offsets(diam: float) -> tuple[int, list[tuple[int, int]],
+                                       list[float]]:
+    """(radius, integer offsets strictly inside the disc, their weights).
+
+    The ONLY definition of the 2D-loss disc enumeration — the windowed
+    single-device path below and parallel/sharded_refine's per-shard
+    variant must use identical offset/weight arithmetic or their
+    loss-parity contract silently breaks. Weight = diam - sqrt(dy^2+dx^2)
+    as an exact small-integer sum, bit-equal to the dense path's
+    pairwise_sq_dists + sqrt.
+    """
+    radius = int(math.ceil(diam)) - 1
+    offsets = [
+        (dy, dx)
+        for dy in range(-radius, radius + 1)
+        for dx in range(-radius, radius + 1)
+        if dy * dy + dx * dx < diam * diam
+    ]
+    wgts = [diam - math.sqrt(dy * dy + dx * dx) for dy, dx in offsets]
+    return radius, offsets, wgts
+
+
 def loss_2d(
     rendering_nocs: jax.Array,
     css_nocs: jax.Array,
@@ -143,7 +165,11 @@ def loss_2d(
     # expanded: sum_c (css[p,c] * w - rend[r,c])^2
     css_sq = jnp.sum(css * css, axis=-1)  # (P,)
     rend_sq = jnp.sum(rend * rend, axis=-1)  # (P,)
-    cross = rend @ css.T  # (P_r, P_p) — MXU
+    # HIGHEST: default TPU precision runs this as bf16 passes whose ~1e-2
+    # error (amplified by w^2 up to diam^2) flips the per-pixel argmin and
+    # the inlier threshold — same hazard class as pairwise_sq_dists above
+    cross = jnp.matmul(rend, css.T,
+                       precision=jax.lax.Precision.HIGHEST)  # (P_r, P_p)
     diff_sq = (
         wgt * wgt * css_sq[None, :] - 2.0 * wgt * cross + rend_sq[:, None]
     )
@@ -180,17 +206,8 @@ def _loss_2d_windowed(
     """
     c, h, w = rendering_nocs.shape
     dt = rendering_nocs.dtype
-    radius = int(math.ceil(diam)) - 1
-    offsets = [
-        (dy, dx)
-        for dy in range(-radius, radius + 1)
-        for dx in range(-radius, radius + 1)
-        if dy * dy + dx * dx < diam * diam
-    ]
-    # identical weight arithmetic to the dense path: sqrt of an exact
-    # small-integer sum, so bit-equal to pairwise_sq_dists + sqrt
-    wgts = jnp.asarray(
-        [diam - math.sqrt(dy * dy + dx * dx) for dy, dx in offsets], dt)
+    radius, offsets, wgts_list = disc_offsets(diam)
+    wgts = jnp.asarray(wgts_list, dt)
 
     valid = (jnp.ones((h, w), bool) if pixel_mask is None
              else pixel_mask.reshape(h, w).astype(bool))

@@ -201,11 +201,21 @@ def make_sharded_refine_fn(
 
     def select_band(latent, grid_block):
         """Grid-sharded stage-1: local decode + top-k, all_gather, global
-        top-k -> replicated (cap, 3) selected points."""
+        top-k -> replicated (cap, 3) selected points.
+
+        Pad points (the 1e3 sentinel rows added for even sharding) are
+        masked out of the ranking EXPLICITLY: the decoder ends in tanh, so
+        a degenerate/untrained decoder can emit |sdf| ~ 0 at the sentinel
+        coordinate and a pad point would otherwise beat real band points.
+        Real grid coordinates live in [-1, 1], so coord > 10 identifies
+        pads without extra plumbing.
+        """
         sdf_local = jax.lax.stop_gradient(
             sel_dec(latent, grid_block).reshape(-1)
         )
-        neg_local, idx_local = jax.lax.top_k(-jnp.abs(sdf_local), local_cap)
+        score = jnp.where(grid_block[:, 0] < 10.0,
+                          -jnp.abs(sdf_local), -jnp.inf)
+        neg_local, idx_local = jax.lax.top_k(score, local_cap)
         cand_pts = jnp.take(grid_block, idx_local, axis=0)
         all_neg = jax.lax.all_gather(neg_local, axis).reshape(-1)
         all_pts = jax.lax.all_gather(cand_pts, axis).reshape(-1, 3)
@@ -244,7 +254,10 @@ def make_sharded_refine_fn(
             sdf_rep = jax.lax.stop_gradient(
                 sel_dec(latent, blk[:, 0]).reshape(-1)
             )
-            _, cell_idx = jax.lax.top_k(-jnp.abs(sdf_rep), kc_local)
+            # mask pad cells (1e3 sentinel corners) — see select_band
+            score_rep = jnp.where(blk[:, 0, 0] < 10.0,
+                                  -jnp.abs(sdf_rep), -jnp.inf)
+            _, cell_idx = jax.lax.top_k(score_rep, kc_local)
             cand_grid = jnp.take(blk, cell_idx, axis=0).reshape(-1, 3)
             pts_sel = select_band(latent, cand_grid)
         else:
@@ -278,8 +291,10 @@ def make_sharded_refine_fn(
                                               jnp.finfo(g_slice.dtype).tiny)
         surf_pts_slice = pts_slice - sdf_slice[:, None] * normals_slice
         idx_global = rank * c2_local + jnp.arange(c2_local)
+        # the pts[:,0] < 10 term masks pad-sentinel points in the (cap >
+        # valid candidates) corner where a pad survives selection
         mask_slice = (jnp.abs(sdf_slice) < cfg.surface_threshold) \
-            & (idx_global < cap)
+            & (idx_global < cap) & (pts_slice[:, 0] < 10.0)
 
         # gathered (replicated) arrays for the per-pixel render; their
         # backward psum_scatters pixel cotangents back to the owning slice
@@ -288,7 +303,8 @@ def make_sharded_refine_fn(
         norm = jnp.linalg.norm(grads, axis=-1, keepdims=True)
         normals = grads / jnp.maximum(norm, jnp.finfo(grads.dtype).tiny)
         surf_pts = pts_sel - sdf_sel[:, None] * normals
-        surf_mask = jnp.abs(sdf_sel) < cfg.surface_threshold
+        surf_mask = (jnp.abs(sdf_sel) < cfg.surface_threshold) \
+            & (pts_sel[:, 0] < 10.0)
 
         # ---- project: full set for the render, slice for the 3D loss ----
         proj = project_dcm(Kj, pose, surf_pts, normals, normals, (w, h),
@@ -352,16 +368,8 @@ def make_sharded_refine_fn(
             # other pixel's candidate collapses to ||rend|| (weight 0),
             # present here since any crop exceeds the disc. O(K^2 P_blk)
             # per shard instead of (P_blk, P) = P^2/n.
-            import math as _math
-
-            radius = int(_math.ceil(cfg.loss2d_diam)) - 1
-            offs = [(dy, dx)
-                    for dy in range(-radius, radius + 1)
-                    for dx in range(-radius, radius + 1)
-                    if dy * dy + dx * dx < cfg.loss2d_diam ** 2]
-            wgts = jnp.asarray(
-                [cfg.loss2d_diam - _math.sqrt(dy * dy + dx * dx)
-                 for dy, dx in offs], rend_block.dtype)
+            _, offs, wgts_list = losses_mod.disc_offsets(cfg.loss2d_diam)
+            wgts = jnp.asarray(wgts_list, rend_block.dtype)
             rr = rc_block[:, 0].astype(jnp.int32)
             cc = rc_block[:, 1].astype(jnp.int32)
             dyx = jnp.asarray(offs, jnp.int32)  # (O, 2)
@@ -377,15 +385,24 @@ def make_sharded_refine_fn(
             wv = wgts[:, None]
             dsq = wv * wv * cand_sq - 2.0 * wv * cross_o + rend_sq[None]
             dsq = jnp.where(inb, dsq, jnp.inf)
-            min_sq = jnp.minimum(jnp.min(dsq, axis=0), rend_sq)
+            # the ||rend|| fallback exists iff some valid css pixel carries
+            # zero weight, i.e. the disc does not cover the whole crop
+            # (losses._loss_2d_windowed's has_fallback, same gating)
+            in_disc = jnp.sum(inb, axis=0)  # (P_blk,)
+            fb_sq = jnp.where(in_disc < p_total, rend_sq, jnp.inf)
+            min_sq = jnp.minimum(jnp.min(dsq, axis=0), fb_sq)
             pos = (min_sq > 0) & jnp.isfinite(min_sq)
             diff_min = jnp.where(
-                pos, jnp.sqrt(jnp.where(pos, min_sq, 1.0)), 0.0)
+                pos, jnp.sqrt(jnp.where(pos, min_sq, 1.0)),
+                jnp.where(jnp.isfinite(min_sq), 0.0, jnp.inf))
         else:
             d = jnp.sqrt(knn.pairwise_sq_dists(rc_block, css_flat[:, :2]))
             wgt = jnp.maximum(cfg.loss2d_diam - d, 0.0)  # (P_blk, P_css)
             css_sq = jnp.sum(css_rgb * css_rgb, -1)
-            cross = rend_block @ css_rgb.T
+            # HIGHEST: see losses.loss_2d — bf16 passes here flip the
+            # candidate argmin / inlier threshold
+            cross = jnp.matmul(rend_block, css_rgb.T,
+                               precision=jax.lax.Precision.HIGHEST)
             diff_sq = wgt * wgt * css_sq[None, :] - 2.0 * wgt * cross \
                 + rend_sq[:, None]
             pos = diff_sq > 0

@@ -102,3 +102,24 @@ def test_css_losses_fused_matches_plain():
         np.testing.assert_allclose(
             float(fused[k]), float(plain[k]), rtol=3e-5,
             err_msg=f"loss term {k}")
+
+
+def test_shard_train_step_rejects_fused_ce_on_multi_device_mesh():
+    """The Pallas CE kernel has no partitioning rule: sharding a
+    fused_ce=True step over a >1-device mesh must fail loudly, not
+    mis-partition (css_train.shard_train_step guard)."""
+    import pytest
+
+    from sdflabel_tpu.engine import css_train
+    from sdflabel_tpu.parallel import mesh as mesh_mod
+
+    mesh = mesh_mod.make_mesh(n_data=8)
+    step = css_train.make_train_step(1e-3, fused_ce=True)
+    with pytest.raises(ValueError, match="fused_ce"):
+        css_train.shard_train_step(step, mesh)
+    # fused_ce=False shards fine; 1-device mesh accepts fused_ce
+    import jax
+
+    css_train.shard_train_step(css_train.make_train_step(1e-3), mesh)
+    css_train.shard_train_step(
+        step, mesh_mod.make_mesh(n_data=1, devices=jax.devices()[:1]))

@@ -275,7 +275,10 @@ def test_loss_2d_windowed_matches_dense():
     value AND gradient (same function: per-offset constant disc weights +
     the zero-weight fallback candidate)."""
     rng = np.random.RandomState(0)
-    for (h, w) in [(32, 32), (24, 48), (17, 9)]:
+    # (6, 6): the diam-5 disc covers the WHOLE crop from center pixels, so
+    # the zero-weight fallback candidate must be absent there (has_fallback
+    # gating) — an unconditional ||rend|| candidate would under-estimate
+    for (h, w) in [(32, 32), (24, 48), (17, 9), (6, 6)]:
         rend = rng.rand(3, h, w).astype(np.float32)
         rend[:, rng.rand(h, w) < 0.6] = 0.0
         css = rng.rand(3, h, w).astype(np.float32)

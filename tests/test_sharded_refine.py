@@ -312,3 +312,58 @@ def test_sharded_windowed_2d_matches_dense(problem):
                                rtol=1e-4)
     np.testing.assert_allclose(np.asarray(final_w.trans),
                                np.asarray(final_d.trans), atol=1e-5)
+
+
+def test_sharded_odd_sizes_match_single_device():
+    """Pixel AND grid padding paths: crop 10x10 (100 px, pad 4 on 8
+    devices) with grid density 15 (3375 points, pad 7). The 1e3/1e6
+    sentinels must stay out of selection, render, and both losses —
+    including against a decoder whose tanh-bounded output is small at the
+    pad coordinate. Runs the dense and windowed 2D-loss variants; the
+    diam-5 disc covers the whole 10x10 crop from center pixels, so the
+    windowed fallback gating is live here too."""
+    crop_hw = (10, 10)
+    K = rast_mod.calibration_matrix(crop_hw)
+    grid_pts = grid_ops.generate_point_grid(15)
+    decoder = _sphere_decoder()
+    cfg = refine_mod.RefineConfig(iters=6, surface_capacity=512)
+
+    gt = refine_mod.init_refine_params(0.4, [0.05, -0.02, 4.0], 2.0,
+                                       [0.0, 0.0, 0.0])
+    surf, _ = grid_ops.surface_from_decoder(decoder, gt.latent, grid_pts,
+                                            capacity=512)
+    pose = refine_mod.build_render_pose(gt.yaw, gt.trans)
+    rendering, points = rast_mod.render(
+        jnp.asarray(K), crop_hw, surf.points, surf.normals, surf.normals,
+        pose, point_mask=surf.mask, rot="dcm", primitives="disc",
+        output_nocs=True,
+    )
+    xyz = np.asarray(points.xyz)[np.asarray(points.front_mask)]
+    frustum = np.zeros((512, 3), np.float32)
+    frustum[: len(xyz)] = xyz[:512] * 2.0
+    fmask = np.zeros(512, bool)
+    fmask[: min(len(xyz), 512)] = True
+    init = refine_mod.init_refine_params(0.45, [0.05, -0.02, 4.05], 2.08,
+                                         [0.0, 0.0, 0.0])
+
+    single = jax.jit(refine_mod.make_refine_fn(
+        decoder, cfg, grid_pts, jnp.asarray(K), crop_hw))
+    final_s, hist_s = single(init, rendering.color, jnp.asarray(frustum),
+                             jnp.asarray(fmask))
+
+    mesh = mesh_mod.make_mesh(n_data=1, n_rays=8)
+    for windowed in (False, True):
+        fn = sharded_refine.make_sharded_refine_fn(
+            decoder, cfg, np.asarray(grid_pts), K, crop_hw, mesh,
+            axis="rays", windowed_2d=windowed)
+        final_m, hist_m = fn(init, rendering.color, jnp.asarray(frustum),
+                             jnp.asarray(fmask))
+        np.testing.assert_allclose(np.asarray(hist_m)[:2],
+                                   np.asarray(hist_s.loss)[:2], rtol=1e-4,
+                                   err_msg=f"windowed={windowed}")
+        np.testing.assert_allclose(np.asarray(hist_m),
+                                   np.asarray(hist_s.loss),
+                                   rtol=2e-2, atol=1e-3,
+                                   err_msg=f"windowed={windowed}")
+        np.testing.assert_allclose(np.asarray(final_m.trans),
+                                   np.asarray(final_s.trans), atol=1e-2)
