@@ -100,12 +100,19 @@ def pack_scenes(
     names: list[str] | None = None,
     scales: list[float] | None = None,
 ) -> ScenePack:
-    """Pack per-scene (pos, neg) arrays into one fixed-shape ScenePack."""
+    """Pack per-scene (pos, neg) arrays into one fixed-shape ScenePack.
+
+    pos and neg get INDEPENDENT pad widths (the train step samples them
+    independently): DeepSDF sample sets are typically heavily unbalanced,
+    and one shared width would cyclically tile the smaller array up to
+    ~2x the needed resident bytes in host RAM and HBM.
+    """
     if not scene_samples:
         raise ValueError("no scenes")
-    width = max(max(len(p), len(n)) for p, n in scene_samples)
-    pos = np.stack([_pad_cyclic(p, width) for p, _ in scene_samples])
-    neg = np.stack([_pad_cyclic(n, width) for _, n in scene_samples])
+    wp = max(len(p) for p, _ in scene_samples)
+    wn = max(len(n) for _, n in scene_samples)
+    pos = np.stack([_pad_cyclic(p, wp) for p, _ in scene_samples])
+    neg = np.stack([_pad_cyclic(n, wn) for _, n in scene_samples])
     return ScenePack(
         pos=pos.astype(np.float32),
         neg=neg.astype(np.float32),

@@ -186,7 +186,10 @@ class RefineRuntime:
     def surface(self, latent):
         return self._surface(jnp.asarray(latent))
 
-    def refine_fn(self, crop_hw: tuple[int, int], K):
+    def refine_fn(self, crop_hw: tuple[int, int]):
+        """Compiled refinement program for this crop shape (cached per
+        shape; the intrinsics are a TRACED runtime argument, not a
+        specialization key)."""
         key = crop_hw
         if key not in self._refine_cache:
             rcfg = refine_mod.RefineConfig(
@@ -422,7 +425,9 @@ def render_trajectory(rt: RefineRuntime, prep: dict, sample: dict, hist,
                          path=base + "_patches.png")
         written.append(base + "_patches.png")
         if "image" in sample:
-            viz.plot_full_frame(sample["image"],
+            # sample['image'] is cv2-loaded BGR (data/kitti.py); _save
+            # writes through PIL as RGB — swap channels for the overlay
+            viz.plot_full_frame(np.asarray(sample["image"])[..., ::-1],
                                 np.asarray(rendering.normals),
                                 prep["anno"]["bbox"],
                                 path=base + "_frame.png")
@@ -455,7 +460,7 @@ def refine_annotation(rt: RefineRuntime, sample: dict, anno: dict,
     prep = prepare_crop(rt, sample, anno, maskrcnn, bbox_max_id)
     if prep is None:
         return None
-    refine_fn = rt.refine_fn(prep["crop_hw"], prep["intrinsics"])
+    refine_fn = rt.refine_fn(prep["crop_hw"])
     final, hist = refine_fn(
         prep["params0"], jnp.asarray(prep["intrinsics"]),
         jnp.asarray(prep["nocs_target"]), jnp.asarray(prep["frustum"]),
@@ -480,7 +485,8 @@ def refine_annotation(rt: RefineRuntime, sample: dict, anno: dict,
     return finish_label(rt, final, sample, prep["anno"])
 
 
-def refine_crops_batched(rt: RefineRuntime, sample: dict, preps: list):
+def refine_crops_batched(rt: RefineRuntime, sample: dict, preps: list,
+                         viz_dir: str | None = None, viz_tag: str = ""):
     """Refine a batch of prepared crops in ONE compiled program.
 
     Variable crop sizes letterbox into an (A, A) square render
@@ -488,6 +494,10 @@ def refine_crops_batched(rt: RefineRuntime, sample: dict, preps: list):
     equivalent to the per-size renders (see engine.losses.loss_2d), but
     every crop of the frame refines simultaneously (vmapped lax.scan;
     SURVEY.md §7.6 "this is where crops/hour is won").
+
+    viz_dir: when set (and cfg.viz_type != 'none'), per-crop trajectory
+    visualizations are re-rendered post hoc from the vmapped history —
+    the batched twin of the sequential branch's render_trajectory call.
     """
     from sdflabel_tpu.parallel import batched_refine
 
@@ -541,6 +551,11 @@ def refine_crops_batched(rt: RefineRuntime, sample: dict, preps: list):
             yaw=final.yaw[i], trans=final.trans[i], scale=final.scale[i],
             latent=final.latent[i],
         )
+        if viz_dir is not None and rt.cfg.viz_type not in (None, "",
+                                                           "none"):
+            hist_i = jax.tree.map(lambda x: x[i], hist)  # vmap axis 0
+            render_trajectory(rt, p, sample, hist_i, viz_dir,
+                              tag=f"{viz_tag}c{i:02d}_")
         label = finish_label(rt, one, sample, p["anno"])
         if label is not None:
             labels.append(label)
@@ -622,8 +637,7 @@ def refine_css(cfgp, subset_frames=None, batched=True):
             if batched:
                 preps.append(prep)
             else:
-                refine_fn = rt.refine_fn(prep["crop_hw"],
-                                         prep["intrinsics"])
+                refine_fn = rt.refine_fn(prep["crop_hw"])
                 final, hist = refine_fn(
                     prep["params0"], jnp.asarray(prep["intrinsics"]),
                     jnp.asarray(prep["nocs_target"]),
@@ -646,7 +660,11 @@ def refine_css(cfgp, subset_frames=None, batched=True):
                     frame_estimations[key].append(value)
 
         if batched and preps:
-            for label in refine_crops_batched(rt, sample, preps):
+            viz_dir = (os.path.join(cfg.labels_out, "viz")
+                       if cfg.viz_type and cfg.viz_type != "none" else None)
+            for label in refine_crops_batched(
+                    rt, sample, preps, viz_dir=viz_dir,
+                    viz_tag=f"f{frame_idx:06d}_"):
                 for key, value in label.items():
                     frame_estimations[key].append(value)
 
@@ -770,6 +788,8 @@ def refine_css_demo(cfgp, sample=None):
         viz_dir = os.path.join(cfg.labels_out, "viz")
 
     frame_annos, frame_estimations = defaultdict(list), defaultdict(list)
+    est_anno_idx = []  # source annotation of each estimation (skips shift
+    # estimation indices, so est i is NOT in general anno i)
     annos = kitti_mod.get_annos(cfg.diff_annos, sample)
     for anno_idx, anno in enumerate(annos):
         for key, value in anno.items():
@@ -790,6 +810,7 @@ def refine_css_demo(cfgp, sample=None):
                                   viz_tag=f"demo_a{anno_idx:02d}_")
         if label is None:
             continue
+        est_anno_idx.append(anno_idx)
         for key, value in label.items():
             frame_estimations[key].append(value)
 
@@ -810,10 +831,11 @@ def refine_css_demo(cfgp, sample=None):
         for i in range(n_est):
             est = {k: frame_estimations[k][i]
                    for k in ("dimensions", "location", "rotation_y")}
-            gt_box = None
-            if len(frame_annos.get("location", [])) > i:
-                gt_box = {k: frame_annos[k][i]
-                          for k in ("dimensions", "location", "rotation_y")}
+            # pair each estimation with ITS source annotation (skipped
+            # annos shift estimation indices)
+            src = est_anno_idx[i]
+            gt_box = {k: frame_annos[k][src]
+                      for k in ("dimensions", "location", "rotation_y")}
             viz.plot_bev(
                 sample.get("lidar", np.zeros((0, 3))), label=est,
                 gt_anno=gt_box,

@@ -97,7 +97,10 @@ def plot_bev(
         corners = geometry.transform_kitti_to_cuboid(
             w, h, l, anno["location"], anno["rotation_y"]
         )
-        px = to_px(corners[:4][:, [0, 2]])
+        # BEV footprint: corners 0-3 are the FRONT face (all share z=+l/2
+        # pre-rotation, collapsing to one edge in (x, z)); the footprint
+        # rectangle is front pair + back pair in loop order 0-1-5-4
+        px = to_px(corners[[0, 1, 5, 4]][:, [0, 2]])
         for i in range(4):
             a, b = px[i], px[(i + 1) % 4]
             n = int(max(abs(b[0] - a[0]), abs(b[1] - a[1]))) + 1
@@ -188,8 +191,16 @@ def plot_correspondences_bev(
 
 def plot_loss_curves(history: dict, path: str | None = None,
                      height: int = 128) -> np.ndarray:
-    """Render refinement loss histories as a simple sparkline strip."""
+    """Render refinement loss histories as a simple sparkline strip.
+
+    Returns an empty image for a history without any known key (total,
+    like plot_correspondences_bev on empty inputs)."""
     keys = [k for k in ("loss", "loss_2d", "loss_3d") if k in history]
+    if not keys:
+        img = np.ones((height, 2, 3), np.float32)
+        if path:
+            _save(img, path)
+        return img
     w = max(len(np.asarray(history[k]).reshape(-1)) for k in keys)
     img = np.ones((height * len(keys), max(w, 2), 3), np.float32)
     colors = [(0.8, 0.2, 0.2), (0.2, 0.5, 0.9), (0.2, 0.7, 0.3)]

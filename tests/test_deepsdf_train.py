@@ -41,8 +41,12 @@ def _make_pack(radii, n=1024, seed=0):
 
 def test_sample_rows_and_pack():
     pack = _make_pack([0.3, 0.5], n=400)
-    assert pack.pos.shape == pack.neg.shape
-    assert pack.pos.shape[0] == 2 and pack.pos.shape[2] == 4
+    # pos and neg have INDEPENDENT pad widths (unbalanced sample sets
+    # must not tile the smaller array up to the larger's width)
+    assert pack.pos.shape[0] == pack.neg.shape[0] == 2
+    assert pack.pos.shape[2] == pack.neg.shape[2] == 4
+    assert pack.pos.shape[1] == max(int(c) for c in pack.pos_count)
+    assert pack.neg.shape[1] == max(int(c) for c in pack.neg_count)
     # pos rows have sdf >= 0, neg < 0 (true rows only)
     for i in range(2):
         assert (pack.pos[i, : pack.pos_count[i], 3] >= 0).all()

@@ -201,7 +201,7 @@ def test_batched_crops_matches_sequential(synthetic_world):
     prep = pipeline.prepare_crop(rt, sample, anno)
     assert prep is not None
 
-    refine_fn = rt.refine_fn(prep["crop_hw"], prep["intrinsics"])
+    refine_fn = rt.refine_fn(prep["crop_hw"])
     final_seq, _ = refine_fn(
         prep["params0"], jnp.asarray(prep["intrinsics"]),
         jnp.asarray(prep["nocs_target"]), jnp.asarray(prep["frustum"]),
