@@ -73,15 +73,20 @@ class RefineParams(NamedTuple):
 
 
 def make_optimizer(cfg: RefineConfig) -> optax.GradientTransformation:
-    """Adam(yaw, trans) + SGD(scale) + SGD(latent), per-param lrs."""
+    """Adam(yaw) + Adam(trans) + SGD(scale) + SGD(latent), per-param lrs
+    (optimizer.py:34-52 — yaw and trans default to the same 0.01 but are
+    INDEPENDENT param groups there, so lr_trans must take effect here
+    too; two same-lr Adam groups step identically to one joint group
+    because Adam state is elementwise)."""
     return optax.multi_transform(
         {
-            "adam": optax.adam(cfg.lr_yaw),  # same lr for yaw & trans
+            "adam_yaw": optax.adam(cfg.lr_yaw),
+            "adam_trans": optax.adam(cfg.lr_trans),
             "sgd_scale": optax.sgd(cfg.lr_scale),
             "sgd_latent": optax.sgd(cfg.lr_latent),
         },
-        RefineParams(yaw="adam", trans="adam", scale="sgd_scale",
-                     latent="sgd_latent"),
+        RefineParams(yaw="adam_yaw", trans="adam_trans",
+                     scale="sgd_scale", latent="sgd_latent"),
     )
 
 
@@ -150,6 +155,11 @@ def make_refine_fn(
             raise ValueError(
                 "warm_band and coarse_cells are alternative selection "
                 "accelerations; enable at most one")
+        if cfg.warm_refresh < 1:
+            raise ValueError(
+                f"warm_refresh must be >= 1 (got {cfg.warm_refresh}); "
+                "1 = refresh every iteration (bit-identical to the exact "
+                "path)")
 
     def _normalize_latent(latent):
         # F.normalize to the sphere (optimizer.py:96): x / clamp(||x||, 1e-12).

@@ -182,12 +182,28 @@ class Detection3DEvaluator:
                 assert key in gt, f"{key} not present in GT {i}"
                 assert key in dt, f"{key} not present in prediction {i}"
                 if key in ("bbox", "dimensions", "location"):
-                    assert len(np.asarray(gt[key]).shape) == 2
-                    assert len(np.asarray(dt[key]).shape) == 2
+                    # fail FAST on non-arrays (the reference's gt[key].shape
+                    # would too); checking np.asarray copies would let a
+                    # list-valued anno pass here and crash deep inside the
+                    # sharded matcher instead
+                    assert isinstance(gt[key], np.ndarray) and \
+                        gt[key].ndim == 2, \
+                        f"GT {i} {key} must be a 2D ndarray, got " \
+                        f"{type(gt[key]).__name__}"
+                    assert isinstance(dt[key], np.ndarray) and \
+                        dt[key].ndim == 2, \
+                        f"prediction {i} {key} must be a 2D ndarray, got " \
+                        f"{type(dt[key]).__name__}"
 
     def evaluate_detection_3d(self, gt_annos, dt_annos, classes_for_eval=None,
                               difficulties=(0,)):
-        assert max(difficulties) <= self.overlap_thresholds.shape[2]
+        # NOTE (reference parity, detection_3d.py:149): difficulty VALUES
+        # must be valid axis indices for the cleaning tables, while the
+        # threshold tensor below is indexed by POSITION in `difficulties`
+        # (all_thresholds[:, ld, m]) — with a per-difficulty (non-tiled)
+        # threshold table, pass difficulties in full (0, 1, 2) order. The
+        # bundled KITTI tables tile identical thresholds across the axis.
+        assert max(difficulties) < self.overlap_thresholds.shape[2]
         self.validate_anno_format(gt_annos, dt_annos)
 
         class_ids = []

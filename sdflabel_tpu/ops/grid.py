@@ -221,6 +221,17 @@ def surface_from_decoder(
     pts_sel = jnp.take(points, idx, axis=0)
 
     # --- stage 2: differentiable decode + normals at selected points ---
+    return _stage2_surface(decoder_fn, latent, pts_sel, threshold), sdf_all
+
+
+def _stage2_surface(decoder_fn, latent, pts_sel, threshold) -> SurfacePoints:
+    """The exact differentiable stage-2 decode: re-evaluate the selected
+    points with the EXACT decoder, normals = per-point SDF gradient
+    (stop-gradded leaf, matching optimizer.py:107), isosurface-project,
+    band-mask. The single definition shared by surface_from_decoder and
+    surface_from_candidates — their bit-identical-trajectory contracts
+    (test_refine.py warm-band equivalence) require one copy of this math.
+    """
     sdf_sel, vjp_fn = jax.vjp(
         lambda p: decoder_fn(latent, p).reshape(-1), pts_sel
     )
@@ -231,13 +242,12 @@ def surface_from_decoder(
     normals_unit = grads / jnp.maximum(norm, jnp.finfo(grads.dtype).tiny)
     projected = pts_sel - sdf_sel[:, None] * normals_unit
     mask = jnp.abs(sdf_sel) < threshold
-    surf = SurfacePoints(
+    return SurfacePoints(
         points=projected,
         nocs=(projected + 1.0) / 2.0,
         normals=normals_unit,
         mask=mask,
     )
-    return surf, sdf_all
 
 
 def surface_from_candidates(
@@ -279,22 +289,7 @@ def surface_from_candidates(
         _, k_idx = jax.lax.top_k(-jnp.abs(sdf_cand), capacity)
         pts_sel = jnp.take(pts_cand, k_idx, axis=0)
 
-    sdf_sel, vjp_fn = jax.vjp(
-        lambda p: decoder_fn(latent, p).reshape(-1), pts_sel
-    )
-    (grads,) = vjp_fn(jnp.ones_like(sdf_sel))
-    grads = jax.lax.stop_gradient(grads)
-
-    norm = jnp.linalg.norm(grads, axis=-1, keepdims=True)
-    normals_unit = grads / jnp.maximum(norm, jnp.finfo(grads.dtype).tiny)
-    projected = pts_sel - sdf_sel[:, None] * normals_unit
-    mask = jnp.abs(sdf_sel) < threshold
-    return SurfacePoints(
-        points=projected,
-        nocs=(projected + 1.0) / 2.0,
-        normals=normals_unit,
-        mask=mask,
-    )
+    return _stage2_surface(decoder_fn, latent, pts_sel, threshold)
 
 
 def band_candidates(

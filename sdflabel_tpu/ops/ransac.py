@@ -127,17 +127,34 @@ def ransac_pose(
     color_d, color_idx = knn.nearest_neighbor(scene_cls, model_cls, model_mask)
     corr_pts = jnp.take(model_pts, color_idx, axis=0)  # (N, 3)
 
-    # --- Sample hypotheses: sample_size scene indices each. The reference
-    # samples WITHOUT replacement (pose.py:139-144); jax.random.choice
-    # without replacement doesn't batch, so we sample independently and
-    # reject any hypothesis whose indices are not pairwise distinct below
-    # (a duplicate collapses the fit to <=3 correspondences and can yield a
-    # garbage pose that still enters scoring).
-    probs = scene_mask.astype(dtype)
-    probs = probs / jnp.maximum(jnp.sum(probs), 1.0)
-    idx = jax.random.choice(
-        key, n, shape=(cfg.num_hypotheses, cfg.sample_size), p=probs
-    )
+    # --- Sample hypotheses: sample_size scene indices each, WITHOUT
+    # replacement like the reference (pose.py:139-144), via the exact
+    # shifted-uniform draw: the j-th pick is uniform over the v-j
+    # remaining valid ranks, shifted past previously chosen ranks in
+    # ascending order. Every hypothesis with >= sample_size valid points
+    # is therefore distinct-by-construction — rejection sampling would
+    # instead LOSE hypotheses (up to ~70% at v=6), breaking the derived
+    # p=.99 iteration-count guarantee for sparse masks.
+    valid_order = jnp.argsort(~scene_mask)  # stable: valid positions first
+    v = jnp.sum(scene_mask)
+
+    def draw_distinct(k):
+        ks = jax.random.split(k, cfg.sample_size)
+        chosen: list = []
+        for j in range(cfg.sample_size):
+            r = jax.random.randint(ks[j], (), 0, jnp.maximum(v - j, 1))
+            if chosen:
+                prev = jnp.sort(jnp.stack(chosen))
+                for t in range(j):
+                    r = r + (r >= prev[t])
+            chosen.append(r)
+        return jnp.stack(chosen)
+
+    ranks = jax.vmap(draw_distinct)(
+        jax.random.split(key, cfg.num_hypotheses))  # (H, S) ranks < v
+    idx = jnp.take(valid_order, ranks, axis=0)  # (H, S) scene indices
+    # duplicates remain possible only when v < sample_size (the clamped
+    # draw widths overlap); such hypotheses are rejected here
     distinct_ok = jnp.all(
         (idx[:, :, None] != idx[:, None, :])
         | jnp.eye(cfg.sample_size, dtype=bool),

@@ -138,6 +138,9 @@ def make_sharded_refine_fn(
             raise ValueError(
                 "warm_band and coarse_cells are alternative selection "
                 "accelerations; enable at most one")
+        if cfg.warm_refresh < 1:
+            raise ValueError(
+                f"warm_refresh must be >= 1 (got {cfg.warm_refresh})")
     # same auto rule as engine.losses.loss_2d: windowed above 64x64
     # (always safe there: any such crop has far more pixels than the
     # ~diam^2 disc, so the zero-weight fallback candidate always exists)

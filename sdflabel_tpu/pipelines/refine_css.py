@@ -250,8 +250,8 @@ class RefineRuntime:
             pcd_dsdf, nocs_dsdf, model_mask, jnp.asarray(sp),
             jnp.asarray(sc), jnp.asarray(sm), self.next_key(),
         )
-        if int(pose.num_inliers) < 5:
-            return None
+        if int(pose.num_inliers) < self.ransac_cfg.min_inliers:
+            return None  # pose.py:135 "no pose found" threshold
         return {
             "scale": float(pose.scale),
             "rot": np.asarray(pose.rot, np.float64),

@@ -139,12 +139,14 @@ def test_refine_annotation_end_to_end(synthetic_world):
     }
     from sdflabel_tpu.ops import ransac as ransac_mod
 
+    # production hypothesis budget (567): the reduced-budget variant was
+    # seed-sensitive enough that stream changes in the sampler flipped the
+    # location tolerance
     rt = SyntheticRuntime(
         cfg, dsdf_cfg, dsdf_params, oracle,
         surface_capacity=2048, frustum_capacity=4096,
         ransac_model_capacity=1024, ransac_scene_capacity=1024,
-        ransac_cfg=ransac_mod.RansacConfig(num_hypotheses=160,
-                                           hypothesis_chunk=8),
+        ransac_cfg=ransac_mod.RansacConfig(hypothesis_chunk=8),
     )
 
     label = pipeline.refine_annotation(rt, sample, anno)

@@ -137,13 +137,14 @@ def test_ransac_comparable_to_reference_estimator():
     assert our_tra_err <= ref_tra_err + 0.05
 
 
-def test_ransac_degenerate_hypotheses_rejected(monkeypatch):
+def test_ransac_degenerate_hypotheses_rejected():
     """Hypotheses with duplicate sample indices must never win (reference
-    samples without replacement, pose.py:139-144). Force EVERY hypothesis
-    to be the 4x-duplicated index 0: kabsch on four identical points gives
-    cross=0 -> SVD returns rot=I, which on this near-identity problem would
-    score plenty of inliers — the distinct-index rejection must discard it
-    and report 'no pose found' instead."""
+    samples without replacement, pose.py:139-144). The shifted-uniform
+    sampler is distinct-by-construction whenever >= sample_size points are
+    valid; with only 2 valid scene points EVERY hypothesis necessarily
+    contains duplicates — kabsch on collapsed samples gives a near-identity
+    rotation that would score plenty of inliers on this near-identity
+    problem, so the distinct-index rejection must report 'no pose found'."""
     rng = np.random.RandomState(11)
     model = rng.uniform(-0.5, 0.5, (300, 3)).astype(np.float32)
     colors = (model + 1) / 2
@@ -154,19 +155,44 @@ def test_ransac_degenerate_hypotheses_rejected(monkeypatch):
     scene = model @ rot.T
     scene_colors = colors.copy()
 
-    real_choice = jax.random.choice
-
-    def degenerate_choice(key, a, shape=(), replace=True, p=None, axis=0):
-        out = real_choice(key, a, shape=shape, replace=replace, p=p, axis=axis)
-        return jnp.zeros_like(out)  # all hypotheses sample index 0 four times
-
-    monkeypatch.setattr(ransac.jax.random, "choice", degenerate_choice)
+    scene_mask = np.zeros(300, bool)
+    scene_mask[:2] = True  # 2 valid points < sample_size=4
     pose = ransac.ransac_pose(
         jnp.asarray(model), jnp.asarray(colors), jnp.ones(300, bool),
-        jnp.asarray(scene), jnp.asarray(scene_colors), jnp.ones(300, bool),
+        jnp.asarray(scene), jnp.asarray(scene_colors),
+        jnp.asarray(scene_mask),
         jax.random.PRNGKey(5), method="kabsch", scale_model=1.0,
     )
     assert int(pose.num_inliers) < 5  # every hypothesis rejected as degenerate
+
+
+def test_ransac_sparse_mask_samples_without_replacement():
+    """With barely enough valid points (6 >= sample_size), rejection
+    sampling would silently discard ~70% of the 567 hypotheses; the
+    shifted-uniform draw keeps every hypothesis valid AND distinct, so the
+    pose is still found from a 6-point mask (reference: np.random.choice
+    replace=False never loses hypotheses, pose.py:139-144)."""
+    rng = np.random.RandomState(3)
+    model = rng.uniform(-0.5, 0.5, (400, 3)).astype(np.float32)
+    colors = (model + 1) / 2
+    th = 0.6
+    rot = np.array([[np.cos(th), 0, np.sin(th)], [0, 1, 0],
+                    [-np.sin(th), 0, np.cos(th)]], np.float32)
+    tra = np.array([0.3, -0.2, 6.0], np.float32)
+    scene = model @ rot.T + tra
+    scene_colors = colors.copy()
+    scene_mask = np.zeros(400, bool)
+    scene_mask[rng.permutation(400)[:6]] = True
+    cfg = ransac.RansacConfig(min_inliers=5)
+    pose = ransac.ransac_pose(
+        jnp.asarray(model), jnp.asarray(colors), jnp.ones(400, bool),
+        jnp.asarray(scene), jnp.asarray(scene_colors),
+        jnp.asarray(scene_mask),
+        jax.random.PRNGKey(7), method="kabsch", scale_model=1.0, cfg=cfg,
+    )
+    assert int(pose.num_inliers) >= cfg.min_inliers
+    np.testing.assert_allclose(np.asarray(pose.rot), rot, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(pose.tra), tra, atol=1e-2)
 
 
 def _make_car_like_problem(n_scene=300, outlier_frac=0.7, seed=13):

@@ -316,3 +316,28 @@ def test_loss_2d_windowed_demo_scale():
     assert np.isfinite(float(val))
     assert np.isfinite(np.asarray(grad)).all()
     assert np.abs(np.asarray(grad)).sum() > 0
+
+
+def test_lr_trans_takes_effect():
+    """lr_trans is its own Adam group (optimizer.py:36) — lr_trans=0 must
+    freeze translation while yaw still moves."""
+    opt = refine.make_optimizer(
+        refine.RefineConfig(lr_trans=0.0, lr_yaw=0.01))
+    p = refine.init_refine_params(0.3, [0.1, 0.2, 4.0], 2.0, [1.0, 0.0, 0.0])
+    st = opt.init(p)
+    g = jax.tree.map(jnp.ones_like, p)
+    upd, _ = opt.update(g, st, p)
+    np.testing.assert_array_equal(np.asarray(upd.trans), 0.0)
+    assert float(np.abs(np.asarray(upd.yaw)).max()) > 1e-4
+
+
+def test_warm_refresh_validated():
+    decoder = lambda latent, pts: jnp.linalg.norm(pts, axis=-1) - 0.5
+    grid_pts = grid_ops.generate_point_grid(8)
+    K = jnp.eye(3)
+    with pytest.raises(ValueError, match="warm_refresh"):
+        refine.make_refine_fn(
+            decoder,
+            refine.RefineConfig(warm_band=512, surface_capacity=512,
+                                warm_refresh=0),
+            grid_pts, K, (8, 8))
