@@ -235,3 +235,46 @@ def get_annos(diff_annos: str, sample: dict) -> list[dict]:
     else:
         annos = sample["annos"]["easy"]
     return sorted(annos, key=lambda a: a["location"][2])
+
+
+def prefetch_frames(dataset, indices, skip_fn=None, depth: int = 2):
+    """Iterate (frame_idx, sample) with background frame loading.
+
+    Host-side KITTI preprocessing (cKDTree PCA normals, depth-map
+    z-buffering — get_kitti_frame) costs a sizable fraction of a frame's
+    refinement time; loading the NEXT frame in a worker thread while the
+    device refines the CURRENT one overlaps the two (the driver-level
+    analogue of data.crops.prefetch_iterator; the reference's per-frame
+    host loop, refine_css.py:65, is fully serial).
+
+    skip_fn(idx) -> True marks a frame as skipped WITHOUT loading it
+    (yielded as (idx, None)); the idempotent-output check belongs there so
+    already-dumped frames cost no preprocessing. Evaluation happens at
+    submit time — up to `depth` frames early — which only ever wastes a
+    load when another process dumps the frame in that window (the
+    multi-process partition assigns disjoint frames, so this does not
+    change which frames get processed).
+    """
+    from collections import deque
+    from concurrent.futures import ThreadPoolExecutor
+
+    indices = list(indices)
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        q: deque = deque()
+        pos = 0
+
+        def fill():
+            nonlocal pos
+            while pos < len(indices) and len(q) < max(depth, 1):
+                i = indices[pos]
+                pos += 1
+                if skip_fn is not None and skip_fn(i):
+                    q.append((i, None))
+                else:
+                    q.append((i, pool.submit(dataset.__getitem__, i)))
+
+        fill()
+        while q:
+            i, fut = q.popleft()
+            fill()  # keep the next load in flight while this one processes
+            yield i, (None if fut is None else fut.result())

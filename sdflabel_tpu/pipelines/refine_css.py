@@ -591,14 +591,19 @@ def refine_css(cfgp, subset_frames=None, batched=True):
     if subset_frames is None:
         subset_frames = range(len(kitti))
 
-    for frame_idx in subset_frames:
+    def _already_dumped(idx):
+        return os.path.exists(os.path.join(cfg.labels_out, f"{idx}.pkl"))
+
+    # Frame loading (host preprocessing: normals, depth map) overlaps the
+    # previous frame's device refinement — see kitti_mod.prefetch_frames.
+    for frame_idx, sample in kitti_mod.prefetch_frames(
+            kitti, subset_frames, skip_fn=_already_dumped):
         print("Frame", frame_idx)
         out_path = os.path.join(cfg.labels_out, f"{frame_idx}.pkl")
-        if os.path.exists(out_path):
+        if sample is None or os.path.exists(out_path):
             print("file exists already!")
             continue
 
-        sample = kitti[frame_idx]
         if not [a for a in sample.get("gt", []) if a["name"] == "Car"]:
             continue
 
@@ -680,6 +685,13 @@ def refine_css(cfgp, subset_frames=None, batched=True):
         pickle.dump([frame_annos, frame_estimations], open(out_path, "wb"))
         total_annotations[frame_idx] = frame_annos
         total_estimations[frame_idx] = frame_estimations
+
+    if not total_annotations:
+        # every frame was skipped (idempotent re-run / disjoint process
+        # partition already done) — nothing to evaluate; run --evaluate on
+        # the dumps instead. The eval below would crash on zero frames.
+        print("No frames processed (all outputs exist); skipping eval.")
+        return total_annotations, total_estimations
 
     # Backfill empty predictions before the in-process eval (the reference
     # only does this in evaluate_dump.py:37-44; frames where every crop was

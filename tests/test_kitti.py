@@ -275,3 +275,36 @@ def test_refine_css_sequential_matches_batched(kitti_root, tmp_path,
                 err_msg=f"frame {frame} key {key}",
             )
     assert emitted >= 1  # the non-skipped labels actually exist
+
+
+def test_prefetch_frames_order_skip_and_overlap(tmp_path):
+    """prefetch_frames yields every frame in order, never loads skipped
+    frames, and has the next load in flight while the current item is
+    being consumed."""
+    import threading
+    import time
+
+    from sdflabel_tpu.data.kitti import prefetch_frames
+
+    loads = []
+    load_threads = set()
+
+    class FakeDataset:
+        def __getitem__(self, i):
+            load_threads.add(threading.get_ident())
+            loads.append(i)
+            time.sleep(0.01)
+            return {"idx": i}
+
+    skipped = {2, 3}
+    out = list(prefetch_frames(FakeDataset(), range(6),
+                               skip_fn=lambda i: i in skipped))
+    assert [i for i, _ in out] == list(range(6))
+    for i, s in out:
+        if i in skipped:
+            assert s is None
+        else:
+            assert s == {"idx": i}
+    assert sorted(loads) == [0, 1, 4, 5]  # skipped frames never loaded
+    # loading happened off the consumer thread
+    assert threading.get_ident() not in load_threads
