@@ -79,6 +79,24 @@ def _masked_depth_softmax(scores, footprint, add_bg, bg_scores=None):
     return prob
 
 
+def kinv_pixel_rays(K: jax.Array, grid_2d: jax.Array,
+                    dtype=jnp.float32) -> jax.Array:
+    """(P, 3) per-pixel camera rays: [grid | 1] @ inv(K).T at HIGHEST.
+
+    THE one definition of this computation — splat_surfel, the rasterer's
+    fused branch, and parallel/sharded_refine all must build kinv rows
+    with bit-identical formula/precision: an ulp-different variant (e.g.
+    host-side numpy, or dropping HIGHEST) flips binarized footprint bits
+    at the sigmoid-underflow edge (pixel errors up to ~1.0 on TPU).
+    """
+    ones = jnp.ones((grid_2d.shape[0], 1), dtype)
+    Kinv = jnp.linalg.inv(K.astype(jnp.float32)).astype(dtype)
+    return jnp.matmul(
+        jnp.concatenate([grid_2d.astype(dtype), ones], axis=-1), Kinv.T,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
 def splat_surfel(
     K: jax.Array,
     grid_2d: jax.Array,
@@ -102,12 +120,7 @@ def splat_surfel(
     eps = jnp.finfo(dtype).eps
     n = vertex_3d.shape[0]
 
-    ones = jnp.ones((grid_2d.shape[0], 1), dtype)
-    Kinv = jnp.linalg.inv(K.astype(jnp.float32)).astype(dtype)
-    kinv_grid = jnp.matmul(
-        jnp.concatenate([grid_2d.astype(dtype), ones], axis=-1), Kinv.T,
-        precision=jax.lax.Precision.HIGHEST,
-    )  # (P,3)
+    kinv_grid = kinv_pixel_rays(K, grid_2d, dtype)  # (P,3)
 
     n_v3d = jnp.sum(normals * vertex_3d, axis=-1)  # (N,)
     # precision=HIGHEST: bf16 matmul error flips footprint bits on TPU

@@ -355,12 +355,18 @@ def surfel_composite(
     prob.T @ features. `point_mask` folds into the packed point buffer (a
     masked point has zero footprint — exact no-op). Gradients flow to
     points, normals, and features (footprint is hard/detached, depth
-    softmax soft — reference semantics).
+    softmax soft — reference semantics). `kinv_grid` is GRADIENT-DEAD
+    here (zero cotangent): camera intrinsics are never optimized in this
+    framework; the dense oracle does differentiate through it, so do not
+    swap paths inside a loss that optimizes K. The result is returned in
+    the input dtype (the kernel accumulates fp32 internally, like the
+    oracle under HIGHEST precision).
     """
     pm = None
     if point_mask is not None:
         pm = jax.lax.stop_gradient(point_mask.astype(jnp.float32))
     chunk = min(chunk, _round_up(max(points_cam.shape[0], 128), 128))
-    return _surfel_composite_core(points_cam, normals_cam, features,
-                                  kinv_grid, pm, diam, depth_constant,
-                                  block_px, chunk)
+    out = _surfel_composite_core(points_cam, normals_cam, features,
+                                 kinv_grid, pm, diam, depth_constant,
+                                 block_px, chunk)
+    return out.astype(points_cam.dtype)

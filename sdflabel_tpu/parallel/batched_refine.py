@@ -27,7 +27,10 @@ def make_batched_refine(
     mesh: Mesh | None = None,
     select_decoder=None,
 ):
-    """Returns refine_batch(params0_b, K_b, nocs_b, frustum_b, fmask_b).
+    """Returns refine_batch(params0_b, K_b, nocs_b, frustum_b, fmask_b,
+    pixel_masks_b) — SIX arguments; the per-crop pixel validity mask is
+    required (letterboxed batching always has one; pass
+    jnp.ones((b,) + crop_hw, bool) for full-frame crops).
 
     All arguments carry a leading crop axis. K varies per crop (per-crop
     adjusted intrinsics, refinement.py:586-609), so it is an argument of

@@ -321,16 +321,13 @@ def make_sharded_refine_fn(
         if fused:
             from sdflabel_tpu.ops import splat_pallas
 
-            # kinv rows derived from the shard's pixel coords with the SAME
-            # formula/precision as splat_surfel (splat.py:106-110): an
-            # ulp-different host-side precompute flips binarized footprint
-            # bits at the sigmoid-underflow edge.
-            Kinv = jnp.linalg.inv(Kj.astype(jnp.float32))
-            ones = jnp.ones((rc_block.shape[0], 1), jnp.float32)
-            kinv_block = jnp.matmul(
-                jnp.concatenate([rc_block[:, ::-1], ones], axis=-1), Kinv.T,
-                precision=jax.lax.Precision.HIGHEST,
-            )
+            # kinv rows from the shard's pixel coords, via THE shared
+            # definition (splat.kinv_pixel_rays) — an ulp-different
+            # variant flips binarized footprint bits.
+            from sdflabel_tpu.ops import splat as splat_ops_kinv
+
+            kinv_block = splat_ops_kinv.kinv_pixel_rays(
+                Kj, rc_block[:, ::-1])
             feats = jnp.concatenate(
                 [colors_ext, jnp.ones((cap, 1), v3d.dtype), v3d[:, 2:3],
                  (nrm + 1.0) / 2.0], axis=-1)  # (cap, 8)

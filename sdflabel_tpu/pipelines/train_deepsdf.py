@@ -34,6 +34,7 @@ import numpy as np
 
 from sdflabel_tpu.data import sdf_samples
 from sdflabel_tpu.engine import deepsdf_train
+from sdflabel_tpu.utils import checkpoint as ckpt_mod
 from sdflabel_tpu.models import deepsdf, deepsdf_workspace as ws
 
 
@@ -65,35 +66,20 @@ def _ckpt_dir(experiment_dir: str) -> str:
     return os.path.join(experiment_dir, "Checkpoints")
 
 
-def save_resume_state(experiment_dir: str, state) -> str:
-    import orbax.checkpoint as ocp
+# Thin wrappers over the shared generic orbax helpers (utils/checkpoint):
+# the experiment-dir layout puts resume state under Checkpoints/.
 
-    d = _ckpt_dir(experiment_dir)
-    os.makedirs(d, exist_ok=True)
-    path = os.path.abspath(
-        os.path.join(d, f"step_{int(state.step):08d}"))
-    ckptr = ocp.StandardCheckpointer()
-    ckptr.save(path, jax.device_get(state._asdict()), force=True)
-    ckptr.wait_until_finished()
-    return path
+
+def save_resume_state(experiment_dir: str, state) -> str:
+    return ckpt_mod.save_train_state(_ckpt_dir(experiment_dir), state)
 
 
 def restore_resume_state(path: str, template):
-    import orbax.checkpoint as ocp
-
-    ckptr = ocp.StandardCheckpointer()
-    restored = ckptr.restore(path, jax.device_get(template._asdict()))
-    return deepsdf_train.DeepSDFTrainState(**restored)
+    return ckpt_mod.restore_train_state(path, template)
 
 
 def latest_resume_state(experiment_dir: str) -> str | None:
-    d = _ckpt_dir(experiment_dir)
-    if not os.path.isdir(d):
-        return None
-    steps = sorted(s for s in os.listdir(d) if s.startswith("step_"))
-    # orbax requires absolute paths (relative experiment dirs are valid CLI
-    # input; save_resume_state already absolutizes)
-    return os.path.abspath(os.path.join(d, steps[-1])) if steps else None
+    return ckpt_mod.latest_checkpoint(_ckpt_dir(experiment_dir))
 
 
 def train_deepsdf(

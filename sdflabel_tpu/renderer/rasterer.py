@@ -146,12 +146,7 @@ def render(
     if primitives == "disc" and _want_fused(use_bg):
         from sdflabel_tpu.ops import splat_pallas
 
-        ones = jnp.ones((grid.shape[0], 1), dtype)
-        Kinv = jnp.linalg.inv(K.astype(jnp.float32)).astype(dtype)
-        kinv_grid = jnp.matmul(
-            jnp.concatenate([grid, ones], axis=-1), Kinv.T,
-            precision=jax.lax.Precision.HIGHEST,
-        )
+        kinv_grid = splat_ops.kinv_pixel_rays(K, grid, dtype)
         img = splat_pallas.surfel_composite(
             v3d, nrm, feats, kinv_grid, point_mask=point_mask, diam=0.04,
         )  # (P, 8)

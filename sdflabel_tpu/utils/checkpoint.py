@@ -9,21 +9,33 @@ torch importers in models/ for reference-weight parity.
 from __future__ import annotations
 
 import os
+import re
 from typing import Any
 
 import jax
 
+# exactly 'step_<digits>': orbax writes to sibling temp dirs named
+# 'step_NNNNNNNN.orbax-checkpoint-tmp-<ts>' before the atomic rename — a
+# prefix match would pick up a crash-orphaned temp dir (it sorts AFTER the
+# finished checkpoint) and resume from garbage
+_STEP_DIR = re.compile(r"^step_\d+$")
+
 
 def save_train_state(ckpt_dir: str, state, step: int | None = None) -> str:
-    """Save a full TrainState (variables + opt state + step) with orbax."""
+    """Save a full train state (any NamedTuple of arrays) with orbax.
+
+    Works for engine.css_train.TrainState and
+    engine.deepsdf_train.DeepSDFTrainState alike (state._asdict() is the
+    checkpoint pytree); `state.step` names the directory.
+    """
     import orbax.checkpoint as ocp
 
-    ckpt_dir = os.path.abspath(ckpt_dir)
+    ckpt_dir = os.path.abspath(ckpt_dir)  # orbax requires absolute paths
     os.makedirs(ckpt_dir, exist_ok=True)
     step = int(state.step) if step is None else step
     path = os.path.join(ckpt_dir, f"step_{step:08d}")
     ckptr = ocp.StandardCheckpointer()
-    ckptr.save(path, jax.device_get(_as_pytree(state)), force=True)
+    ckptr.save(path, jax.device_get(state._asdict()), force=True)
     ckptr.wait_until_finished()
     return path
 
@@ -32,30 +44,18 @@ def restore_train_state(path: str, template) -> Any:
     import orbax.checkpoint as ocp
 
     ckptr = ocp.StandardCheckpointer()
-    restored = ckptr.restore(path, jax.device_get(_as_pytree(template)))
-    return _from_pytree(template, restored)
+    restored = ckptr.restore(path, jax.device_get(template._asdict()))
+    return type(template)(**restored)
 
 
 def latest_checkpoint(ckpt_dir: str) -> str | None:
     if not os.path.isdir(ckpt_dir):
         return None
     steps = sorted(
-        d for d in os.listdir(ckpt_dir) if d.startswith("step_")
+        d for d in os.listdir(ckpt_dir) if _STEP_DIR.fullmatch(d)
     )
-    return os.path.join(ckpt_dir, steps[-1]) if steps else None
-
-
-def _as_pytree(state):
-    return {
-        "variables": state.variables,
-        "opt_state": state.opt_state,
-        "step": state.step,
-    }
-
-
-def _from_pytree(template, tree):
-    return type(template)(
-        variables=tree["variables"],
-        opt_state=tree["opt_state"],
-        step=tree["step"],
-    )
+    if not steps:
+        return None
+    # absolute: orbax rejects relative restore paths (relative log dirs
+    # are valid CLI input)
+    return os.path.abspath(os.path.join(ckpt_dir, steps[-1]))

@@ -222,3 +222,22 @@ def test_deepsdf_dropout_train_mode():
     assert not np.allclose(np.asarray(tr1), np.asarray(tr2))
     assert not np.allclose(np.asarray(tr1), np.asarray(eval_out))
     assert np.isfinite(np.asarray(tr1)).all()
+
+
+def test_latest_checkpoint_ignores_orbax_tmp_and_absolutizes(tmp_path,
+                                                             monkeypatch):
+    """A crash mid-save leaves 'step_N.orbax-checkpoint-tmp-<ts>' behind,
+    which sorts AFTER the finished checkpoint — it must never be picked;
+    and orbax rejects relative restore paths, so the result is absolute."""
+    import os
+
+    from sdflabel_tpu.utils import checkpoint as ck
+
+    d = tmp_path / "ckpt"
+    (d / "step_00000002").mkdir(parents=True)
+    (d / "step_00000003").mkdir()
+    (d / "step_00000003.orbax-checkpoint-tmp-1723940").mkdir()
+    monkeypatch.chdir(tmp_path)
+    latest = ck.latest_checkpoint("ckpt")  # relative input (valid CLI)
+    assert os.path.isabs(latest)
+    assert os.path.basename(latest) == "step_00000003"
