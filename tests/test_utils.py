@@ -1,6 +1,7 @@
 """Aux subsystems: viz, checkpointing, profiling, HPR, config."""
 
 import configparser
+import dataclasses
 import json
 import math
 
@@ -142,6 +143,25 @@ def test_config_parsing_reference_ini():
     assert tcfg.batch_size == 13
     assert tcfg.lr == 0.001
     assert tcfg.log_dir == "log/demo/"
+
+
+def test_stock_configs_match_reference_semantics():
+    """Our shipped configs/ mirror the reference's key-for-key: parsing
+    ours and the reference's yields identical RefineCfg/TrainCfg (the TPU
+    extension knobs in ours sit at their reference-equivalent defaults,
+    except the deterministic seed which has no reference analogue)."""
+    ours = configparser.ConfigParser()
+    assert ours.read("/root/repo/configs/config_refine.ini")
+    ref = configparser.ConfigParser()
+    assert ref.read("/root/reference/configs/config_refine.ini")
+    assert cfg_mod.RefineCfg.from_ini(ours) == cfg_mod.RefineCfg.from_ini(ref)
+
+    ours_t = configparser.ConfigParser()
+    assert ours_t.read("/root/repo/configs/config_train.ini")
+    ref_t = configparser.ConfigParser()
+    assert ref_t.read("/root/reference/configs/config_train.ini")
+    a, b = cfg_mod.TrainCfg.from_ini(ours_t), cfg_mod.TrainCfg.from_ini(ref_t)
+    assert dataclasses.replace(a, seed=b.seed) == b
 
 
 def test_lookat():
