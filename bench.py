@@ -46,26 +46,70 @@ DIMS, LAYERS, LATENT = 512, 8, 3
 # rolled (compile time is iteration-count independent), so a longer scan
 # amortizes the RTT out of the per-iteration number. A device profile at
 # 30 iters showed 2.52 ms/iter of kernels vs 3.58 ms/iter apparent —
-# 120 iters bounds the dispatch inflation at <12%.
-SCAN_ITERS = 120
-# BENCH_SELECT_BF16=1: hybrid precision variant — bf16 band-selection
-# decode (deepsdf.select_sdf_fn) + exact fp32 stage-2 re-decode. Same
-# rays/s metric; surface values stay fp32-exact by construction.
-SELECT_BF16 = bool(int(__import__("os").environ.get("BENCH_SELECT_BF16",
-                                                    "0")))
-# BENCH_SELECT_PALLAS=1: fused Pallas stage-1 selection decode
-# (ops.mlp_pallas — VMEM-resident MLP, no inter-layer HBM traffic). Same
-# rank-only contract as SELECT_BF16; stage 2 stays fp32-exact.
-SELECT_PALLAS = bool(int(__import__("os").environ.get(
-    "BENCH_SELECT_PALLAS", "0")))
-# BENCH_WARM_BAND=N: warm-started band selection variant — full-grid
-# candidate refresh every BENCH_WARM_REFRESH iters, selection on the
-# N-point candidate set in between (engine.refine warm_band knob).
-WARM_BAND = int(__import__("os").environ.get("BENCH_WARM_BAND", "0"))
-WARM_REFRESH = int(__import__("os").environ.get("BENCH_WARM_REFRESH", "10"))
+# 480 iters bounds the dispatch inflation at <2%.
+SCAN_ITERS = 480
+# Crops/hour protocol (BASELINE.md "crops autolabeled per hour"): one
+# 60-iteration refinement per dispatch at the reference's crop scale
+# (config_refine.ini iters=60; capacity 8192 band).
+CROP_ITERS = 60
+CROP_CAPACITY = 8192
+# CSS training protocol (BASELINE config #4): reference batch/resolution
+# (config_train.ini batch_size=13, 128x128 crops), canonical CSSNet,
+# 20-step pipelined bursts between host syncs.
+CSS_BATCH, CSS_RES, CSS_BURST = 13, 128, 20
+
+import os  # noqa: E402
+
+# The DEFAULT benched program mirrors the shipping default: fused Pallas
+# stage-1 selection on TPU (config.RefineCfg.select_pallas=True since
+# round 3; measured 1.10x over the XLA selection path, BENCH_NOTES.md).
+# Env overrides for ad-hoc measurement runs:
+#   BENCH_SELECT_PALLAS=0  force the plain XLA selection path
+#   BENCH_SELECT_BF16=1    bf16 selection decode variant
+#   BENCH_WARM_BAND=N [BENCH_WARM_REFRESH=M]  warm-started band selection
+#   BENCH_SKIP_EXTRAS=1    headline only (skip variants/crops/css metrics)
+SELECT_BF16 = bool(int(os.environ.get("BENCH_SELECT_BF16", "0")))
+SELECT_PALLAS = bool(int(os.environ.get("BENCH_SELECT_PALLAS", "1")))
+WARM_BAND = int(os.environ.get("BENCH_WARM_BAND", "0"))
+WARM_REFRESH = int(os.environ.get("BENCH_WARM_REFRESH", "10"))
+SKIP_EXTRAS = bool(int(os.environ.get("BENCH_SKIP_EXTRAS", "0")))
 
 
-def build_ours():
+def _timed(run, n_timing=3):
+    """compile + warm + min-of-n wall time of run() (which must force a
+    host transfer: on the axon tunnel block_until_ready returns at
+    enqueue)."""
+    run()  # compile
+    run()  # warm
+    times = []
+    for _ in range(n_timing):
+        t0 = time.perf_counter()
+        run()
+        times.append(time.perf_counter() - t0)
+    return min(times)
+
+
+def _deepsdf_setup():
+    import jax
+
+    from sdflabel_tpu.models import deepsdf
+
+    cfg = deepsdf.DeepSDFConfig(
+        latent_size=LATENT, dims=(DIMS,) * LAYERS,
+        norm_layers=tuple(range(LAYERS)), latent_in=(LAYERS // 2,),
+        weight_norm=True,
+    )
+    params = deepsdf.init_params(cfg, jax.random.PRNGKey(0))
+    return cfg, deepsdf.sdf_fn(cfg, params), params
+
+
+def build_refine(select="default", warm_band=0, warm_refresh=10,
+                 iters=SCAN_ITERS, capacity=CAPACITY):
+    """Build a timed runner for one refinement program.
+
+    select: 'default' (Pallas stage-1 on TPU — the shipping default),
+    'xla' (plain two-stage XLA selection), or 'bf16'.
+    """
     import jax
     import jax.numpy as jnp
 
@@ -74,28 +118,24 @@ def build_ours():
     from sdflabel_tpu.ops import grid as grid_ops
     from sdflabel_tpu.renderer import rasterer as rast_mod
 
-    cfg = deepsdf.DeepSDFConfig(
-        latent_size=LATENT, dims=(DIMS,) * LAYERS,
-        norm_layers=tuple(range(LAYERS)), latent_in=(LAYERS // 2,),
-        weight_norm=True,
-    )
-    params = deepsdf.init_params(cfg, jax.random.PRNGKey(0))
-    decoder = deepsdf.sdf_fn(cfg, params)
-    select = deepsdf.select_sdf_fn(cfg, params) if SELECT_BF16 else None
-    if SELECT_PALLAS:
+    cfg, decoder, params = _deepsdf_setup()
+    sel = None
+    if select == "bf16":
+        sel = deepsdf.select_sdf_fn(cfg, params)
+    elif select == "default" and jax.default_backend() == "tpu":
         from sdflabel_tpu.ops import mlp_pallas
 
-        select = mlp_pallas.pallas_select_fn(cfg, params)
-        assert select is not None, "bench arch must be kernel-supported"
+        sel = mlp_pallas.pallas_select_fn(cfg, params)
+        assert sel is not None, "bench arch must be kernel-supported"
     grid_pts = grid_ops.generate_point_grid(GRID_DENSITY)
-    rcfg = refine_mod.RefineConfig(iters=SCAN_ITERS,
-                                   surface_capacity=CAPACITY,
-                                   warm_band=WARM_BAND,
-                                   warm_refresh=WARM_REFRESH)
+    rcfg = refine_mod.RefineConfig(iters=iters,
+                                   surface_capacity=capacity,
+                                   warm_band=warm_band,
+                                   warm_refresh=warm_refresh)
     K = jnp.asarray(rast_mod.calibration_matrix((CROP, CROP)))
     refine_fn = jax.jit(
         refine_mod.make_refine_fn(decoder, rcfg, grid_pts, K, (CROP, CROP),
-                                  select_decoder=select)
+                                  select_decoder=sel)
     )
 
     rng = np.random.RandomState(0)
@@ -116,22 +156,110 @@ def build_ours():
 
 
 def bench_ours():
-    run = build_ours()
+    if WARM_BAND or SELECT_BF16 or not SELECT_PALLAS:
+        # env-forced variant run (ad-hoc measurement)
+        sel = "bf16" if SELECT_BF16 else ("default" if SELECT_PALLAS
+                                          else "xla")
+        run = build_refine(select=sel, warm_band=WARM_BAND,
+                           warm_refresh=WARM_REFRESH)
+    else:
+        run = build_refine()
     # progress to stderr (stdout is reserved for the one JSON line); the
     # remote axon compile of the full scanned program is 300-500 s cold
     print("# compiling (cold remote compile can take ~5-8 min)...",
           file=sys.stderr, flush=True)
-    run()  # compile
-    print("# compiled; timing...", file=sys.stderr, flush=True)
-    run()  # warm
-    times = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        run()
-        times.append(time.perf_counter() - t0)
-    dt = min(times)
+    dt = _timed(run)
     iters_per_sec = SCAN_ITERS / dt
     return iters_per_sec * CROP * CROP, iters_per_sec
+
+
+def bench_variants():
+    """rays/s of the selection-acceleration variants (BENCH_NOTES tables,
+    captured as structured artifacts per VERDICT r2 weak #3)."""
+    out = []
+    for name, kw in (
+        ("xla_select", dict(select="xla")),
+        ("warm_band_pool4096_refresh10",
+         dict(select="default", warm_band=CAPACITY)),
+    ):
+        try:
+            print(f"# variant {name}...", file=sys.stderr, flush=True)
+            dt = _timed(build_refine(**kw))
+            out.append({"name": name,
+                        "rays_per_s": round(SCAN_ITERS * CROP * CROP / dt, 1),
+                        "iters_per_s": round(SCAN_ITERS / dt, 2)})
+        except Exception as e:  # pragma: no cover - defensive
+            print(f"# variant {name} failed: {type(e).__name__}: {e}",
+                  file=sys.stderr)
+            out.append({"name": name, "error": str(e)[:200]})
+    return out
+
+
+def bench_crops_per_hour():
+    """KITTI crops autolabeled per hour (BASELINE.md metric): a full
+    60-iteration refinement per dispatch at reference crop scale, exact
+    default path and the best variant (warm band)."""
+    out = {}
+    for name, kw in (
+        ("default", dict(select="default")),
+        ("warm_band", dict(select="default", warm_band=CROP_CAPACITY)),
+    ):
+        try:
+            print(f"# crops/hour {name}...", file=sys.stderr, flush=True)
+            run = build_refine(iters=CROP_ITERS, capacity=CROP_CAPACITY,
+                               **kw)
+            run()  # compile
+            run()  # warm
+            n = 10
+            t0 = time.perf_counter()
+            for _ in range(n):
+                run()
+            s_per_crop = (time.perf_counter() - t0) / n
+            out[name] = {"s_per_crop": round(s_per_crop, 4),
+                         "crops_per_hour": round(3600.0 / s_per_crop, 1)}
+        except Exception as e:  # pragma: no cover - defensive
+            print(f"# crops/hour {name} failed: {type(e).__name__}: {e}",
+                  file=sys.stderr)
+            out[name] = {"error": str(e)[:200]}
+    return out
+
+
+def bench_css_train():
+    """CSS training step at the reference config (BASELINE config #4):
+    ms/step and images/s, pipelined-burst protocol (BENCH_NOTES 'CSS
+    training')."""
+    import jax
+    import jax.numpy as jnp
+
+    from sdflabel_tpu.engine import css_train
+    from sdflabel_tpu.models import css as css_mod
+
+    rng = np.random.RandomState(0)
+    b, r = CSS_BATCH, CSS_RES
+    batch = {
+        "rgb": jnp.asarray(rng.rand(b, 3, r, r), jnp.float32),
+        "uvw": jnp.asarray(rng.randint(0, 256, (b, 3, r, r)), jnp.int32),
+        "mask": jnp.asarray(rng.randint(0, 2, (b, r, r)), jnp.int32),
+        "latent": jnp.asarray(rng.randn(b, LATENT), jnp.float32),
+    }
+    model = css_mod.CSSNet(use_running_average=False)
+    variables = model.init(jax.random.PRNGKey(0), batch["rgb"])
+    fused = css_train.default_fused_ce()
+    step = jax.jit(css_train.make_train_step(1e-3, fused_ce=fused))
+    state0 = css_train.init_train_state(
+        jax.tree.map(jnp.asarray, variables), 1e-3)
+
+    def burst():
+        state = state0
+        for _ in range(CSS_BURST):
+            state, metrics = step(state, batch)
+        return float(metrics["loss"])
+
+    print("# css train step...", file=sys.stderr, flush=True)
+    dt = _timed(burst) / CSS_BURST
+    return {"ms_per_step": round(dt * 1000, 2),
+            "images_per_s": round(b / dt, 1),
+            "fused_ce": bool(fused)}
 
 
 V5E_BF16_PEAK_TFLOPS = 197.0  # public v5e spec (bf16 MXU peak per chip)
@@ -182,7 +310,7 @@ def flops_per_iteration():
     return float(ca["flops"])
 
 
-def analytic_hbm_bytes_per_iteration():
+def analytic_hbm_bytes_per_iteration(pallas_stage1: bool = False):
     """HBM traffic model of one refinement iteration (fp32 path).
 
     XLA's cost-analysis 'bytes accessed' counts every HLO's operands with
@@ -196,6 +324,12 @@ def analytic_hbm_bytes_per_iteration():
     intermediates as bf16 (visible as bf16 tensors in the optimized HLO;
     also why an explicit bf16 cast measured as a no-op), so boundary
     traffic is counted at 2 bytes; inputs/weights at their true fp32.
+
+    pallas_stage1 (the TPU shipping default since round 3): stage 1 runs
+    as the VMEM-resident fused kernel (ops.mlp_pallas) — activations
+    never leave VMEM, weights stream once (bf16), HBM sees only the
+    padded points in and the sdf out. Stage 1 then sits on the MXU
+    roofline and the iteration bound is the MXU term.
     """
     B = 4  # fp32 bytes (inputs, weights)
     BA = 2  # bf16 activation storage between matmul layers
@@ -204,8 +338,12 @@ def analytic_hbm_bytes_per_iteration():
     H = DIMS
     nb = LAYERS - 1  # inter-layer activation boundaries
     w_bytes = LAYERS * H * H * B  # decoder weights, read once per pass
-    # stage 1 (selection decode, fwd only): input + boundaries + weights
-    s1 = n1 * (H + LATENT + 3) * B + 2 * n1 * H * BA * nb + w_bytes
+    if pallas_stage1:
+        # padded (N,4) fp32 points in + (N,1) f32 out + bf16 weight stack
+        s1 = n1 * 4 * B + n1 * B + (LAYERS - 2) * H * H * 2
+    else:
+        # input + inter-layer boundaries + weights
+        s1 = n1 * (H + LATENT + 3) * B + 2 * n1 * H * BA * nb + w_bytes
     # stage 2 (fwd + normals vjp + loss-grad bwd ~ 3 passes over a
     # CAPACITY-row chain; backward re-reads stored activations)
     s2 = 3 * (2 * n2 * H * BA * nb + w_bytes)
@@ -300,9 +438,6 @@ def bench_reference(max_seconds=120.0):
         return None
 
 
-import os  # noqa: E402  (used in bench_reference)
-
-
 def probe_device(timeout_s: int = 600):
     """Fail fast (one diagnostic JSON line, rc=3) when the TPU backend is
     unreachable, instead of hanging forever in backend init.
@@ -345,18 +480,20 @@ def main():
     # Speed-of-light accounting (the actionable number): achieved FLOP/s
     # of the iteration vs the chip's bf16 MXU peak. The torch-CPU ratio is
     # kept as a secondary context field only. Only well-defined for the
-    # default exact program: under BENCH_WARM_BAND the scan body holds a
-    # lax.cond whose branches the cost analysis BOTH counts, and the
-    # useful FLOPs differ between refresh and warm iterations.
+    # exact-selection programs (the Pallas stage-1 computes the identical
+    # matmul chain, so the XLA-counted FLOPs apply): under BENCH_WARM_BAND
+    # the scan body holds a lax.cond whose branches the cost analysis BOTH
+    # counts, and the useful FLOPs differ between refresh and warm
+    # iterations.
     variant = None
     if WARM_BAND:
         variant = f"warm_band={WARM_BAND},refresh={WARM_REFRESH}"
     if SELECT_BF16:
         variant = (variant + "," if variant else "") + "select_bf16"
-    if SELECT_PALLAS:
-        variant = (variant + "," if variant else "") + "select_pallas"
+    if not SELECT_PALLAS:
+        variant = (variant + "," if variant else "") + "xla_select"
     try:
-        if variant is not None:
+        if WARM_BAND:
             raise RuntimeError(
                 f"flops/roofline accounting skipped for variant {variant}")
         print("# computing XLA cost analysis (CPU lowering)...",
@@ -366,7 +503,11 @@ def main():
         print(f"# cost analysis failed: {type(e).__name__}: {e}",
               file=sys.stderr)
         flops_iter = None
-    bytes_iter = analytic_hbm_bytes_per_iteration() if flops_iter else None
+    import jax as _jax
+
+    pallas_default = SELECT_PALLAS and _jax.default_backend() == "tpu"
+    bytes_iter = (analytic_hbm_bytes_per_iteration(pallas_default)
+                  if flops_iter else None)
     achieved_tflops = (
         flops_iter * iters_per_sec / 1e12 if flops_iter else None
     )
@@ -387,6 +528,17 @@ def main():
                       bytes_iter / (V5E_HBM_GBPS * 1e9))
         pct_roofline = 100.0 * bound_s * iters_per_sec
 
+    extras = {}
+    if not SKIP_EXTRAS and variant is None:
+        extras["variants"] = bench_variants()
+        extras["crops_per_hour"] = bench_crops_per_hour()
+        try:
+            extras["css_train"] = bench_css_train()
+        except Exception as e:  # pragma: no cover - defensive
+            print(f"# css train bench failed: {type(e).__name__}: {e}",
+                  file=sys.stderr)
+            extras["css_train"] = {"error": str(e)[:200]}
+
     ref_rays = bench_reference()
     vs = rays_per_sec / ref_rays if ref_rays else 0.0
     print(json.dumps({
@@ -404,7 +556,10 @@ def main():
         "peak_tflops_ref": V5E_BF16_PEAK_TFLOPS,
         "hbm_gbps_ref": V5E_HBM_GBPS,
         "vs_torch_cpu": round(vs, 2),
+        "select": ("pallas" if pallas_default else
+                   ("bf16" if SELECT_BF16 else "xla")),
         **({"variant": variant} if variant else {}),
+        **extras,
     }))
 
 

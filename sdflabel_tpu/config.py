@@ -90,7 +90,10 @@ class RefineCfg:
     # round-trips). Same rank-only contract as select_bf16; selected
     # points are always re-decoded exactly in stage 2. Requires a TPU
     # backend and a supported architecture; silently falls back otherwise.
-    select_pallas: bool = False
+    # Default ON since round 3: measured 1.10x on the exact refinement
+    # path at reference scale on v5e (BENCH_NOTES.md "Fused selection
+    # kernel"), stage-1 moves onto the MXU roofline.
+    select_pallas: bool = True
     # Warm-started band selection (TPU extension, engine.refine): full-grid
     # candidate refresh every `warm_refresh` iterations, band top-k on the
     # `warm_band`-point candidate set in between. 0 = off (exact full-grid

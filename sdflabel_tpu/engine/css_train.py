@@ -99,6 +99,21 @@ def css_losses(pred: dict, batch: dict, fused_ce: bool = False) -> dict:
     }
 
 
+def default_fused_ce() -> bool:
+    """Production default for the fused Pallas CE kernel: OFF.
+
+    Measured on the real v5e (round 3, scripts/measure_fused_ce.py,
+    reference batch-13 128x128 step): jnp CE 36.26 ms/step vs fused
+    kernel 38.69 ms/step — a 0.94x NON-win. The kernel's fwd+bwd reads
+    the logits twice plus one write, which is the same HBM traffic as
+    XLA's already-fused log-softmax towers, and the per-block accumulator
+    adds grid overhead. Value parity is exact to fp32 reduction order
+    (loss delta 4e-6 at step 0). Kept opt-in (`[train] fused_ce`) for
+    regimes with more classes per pixel where the no-materialized-
+    log-probs property would dominate. See BENCH_NOTES.md "Fused CE"."""
+    return False
+
+
 def make_optimizer(lr: float, params: Any) -> optax.GradientTransformation:
     """Adam with frozen early layers (conv1/bn1/layer1).
 

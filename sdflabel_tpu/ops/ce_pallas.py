@@ -59,7 +59,21 @@ def _fwd_kernel(x_ref, t_ref, out_ref):
     lse = m + jnp.log(s)
     iota = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
     picked = jnp.sum(jnp.where(iota == t[None], x, 0.0), axis=0)
-    out_ref[0, 0] = jnp.sum(lse - picked)
+    contrib = lse - picked  # (bh, W) per-pixel CE terms
+    # Per-image (bh, W) accumulator block, revisited across the row-block
+    # axis j (innermost grid dim -> the block stays VMEM-resident between
+    # steps). Mosaic rejects sub-(8,128) output tiles on hardware, so the
+    # partial sums keep the native pixel tile instead of a scalar per
+    # block (the (1, 1) SMEM output only ever worked in interpret mode).
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _init():
+        out_ref[0] = contrib
+
+    @pl.when(j != 0)
+    def _acc():
+        out_ref[0] += contrib
 
 
 def _bwd_kernel(x_ref, t_ref, g_ref, dx_ref):
@@ -115,13 +129,13 @@ def fused_cross_entropy(logits, targets):
 
 def _fwd_value(logits, targets):
     b, _, h, w = logits.shape
-    partial_sums = _block_call(
+    partial = _block_call(
         _fwd_kernel, logits, targets.astype(jnp.int32), None,
-        out_shape=jax.ShapeDtypeStruct((b, h // _BH), jnp.float32),
-        out_specs=pl.BlockSpec((1, 1), lambda i, j: (i, j),
-                               memory_space=pltpu.SMEM),
+        out_shape=jax.ShapeDtypeStruct((b, _BH, w), jnp.float32),
+        out_specs=pl.BlockSpec((1, _BH, w), lambda i, j: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
     )
-    return jnp.sum(partial_sums) / (b * h * w)
+    return jnp.sum(partial) / (b * h * w)
 
 
 def _fwd(logits, targets):

@@ -55,14 +55,11 @@ def make_rays_sharded_render(
         if fused:
             from sdflabel_tpu.ops import splat_pallas
 
-            # kinv rows from the shard's pixel coords with splat_surfel's
-            # exact formula/precision (splat.py:106-110)
-            Kinv = jnp.linalg.inv(jnp.asarray(K).astype(jnp.float32))
-            ones = jnp.ones((grid_block.shape[0], 1), jnp.float32)
-            kinv_block = jnp.matmul(
-                jnp.concatenate([grid_block, ones], axis=-1), Kinv.T,
-                precision=jax.lax.Precision.HIGHEST,
-            )
+            # kinv rows from the shard's pixel coords — MUST go through
+            # the one shared definition (splat.kinv_pixel_rays): an
+            # ulp-different variant flips binarized footprint bits
+            kinv_block = splat_ops.kinv_pixel_rays(
+                jnp.asarray(K), grid_block)
             n = coords.shape[0]
             feats = jnp.concatenate(
                 [colors_ext, jnp.ones((n, 1), colors_ext.dtype),

@@ -193,7 +193,7 @@ def make_sharded_refine_fn(
         [np.ones(p_total, bool), np.zeros(pad_px, bool)])
 
     opt = refine_mod.make_optimizer(cfg)
-    Kj = jnp.asarray(K_np)
+    Kj = K_np  # numpy constant — see grid_j below for why
     fused = (use_fused if use_fused is not None
              else jax.default_backend() == "tpu")
     # stage-2 slice size per shard (selected points padded to a multiple)
@@ -470,9 +470,14 @@ def make_sharded_refine_fn(
         check_vma=False,
     )
 
-    grid_j = jnp.asarray(grid_padded)
-    rc_j = jnp.asarray(pix_rc)
-    pxv_j = jnp.asarray(px_valid)
+    # Keep the closed-over geometry as NUMPY constants: inside the jit they
+    # bake into the program (replicated at compile time on every process),
+    # so the same refine fn works on multi-PROCESS global meshes, where a
+    # closed-over single-device jax.Array would carry an incompatible
+    # process-local sharding (tests/distributed_worker.py exercises this).
+    grid_j = grid_padded
+    rc_j = pix_rc
+    pxv_j = px_valid
 
     @jax.jit
     def refine(params0, nocs_target, frustum, fmask):

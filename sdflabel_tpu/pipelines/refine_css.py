@@ -151,6 +151,11 @@ class RefineRuntime:
             hypothesis_chunk=16
         )
         self.key = jax.random.PRNGKey(rng_seed)
+        # Host-side RNG for scene/frustum subsampling: owned by the
+        # runtime (NOT the global np.random state) so library callers of
+        # refine_annotation/prepare_crop are deterministic per rng_seed
+        # without any global seeding.
+        self.np_rng = np.random.RandomState(rng_seed)
 
         # latent head sized to the LOADED decoder (3 for the reference car
         # checkpoints; in-framework decoders may differ — models/css.py)
@@ -232,7 +237,7 @@ class RefineRuntime:
             return None
         cap = self.ransac_scene_capacity
         n = min(scene_pts.shape[0], cap)
-        sel = np.random.choice(scene_pts.shape[0], n, replace=False) \
+        sel = self.np_rng.choice(scene_pts.shape[0], n, replace=False) \
             if scene_pts.shape[0] > cap else np.arange(scene_pts.shape[0])
         sp = np.zeros((cap, 3), np.float32)
         sc = np.zeros((cap, 3), np.float32)
@@ -348,7 +353,7 @@ def prepare_crop(rt: RefineRuntime, sample: dict, anno: dict,
     fmask = np.zeros(cap, bool)
     n = min(len(pcd_crop), cap)
     if n > 0:
-        sel = (np.random.choice(len(pcd_crop), n, replace=False)
+        sel = (rt.np_rng.choice(len(pcd_crop), n, replace=False)
                if len(pcd_crop) > cap else np.arange(len(pcd_crop)))
         frustum[:n] = pcd_crop[sel[:n]]
         fmask[:n] = True

@@ -66,21 +66,13 @@ def render_model(model_path: str, primitives: str = "disc",
                  crop_size=(200, 100), output_dir: str = "renderer_output"):
     """Render a mesh's colored vertices (sdfrenderer/main.py:13-59).
 
-    Loads .ply/.obj via trimesh when available, else a .npz with
-    vertices/normals/colors arrays.
+    Mesh loading (utils.meshio.load_mesh): .npz bundled assets and .obj
+    natively (no extra dependencies); other formats via trimesh when
+    installed.
     """
-    if model_path.endswith(".npz"):
-        data = np.load(model_path)
-        verts = data["vertices"]
-        normals = data["normals"]
-        colors = data["colors"]
-    else:
-        import trimesh  # not in the base image; npz path is the fallback
+    from sdflabel_tpu.utils import meshio
 
-        mesh = trimesh.load(model_path)
-        verts = np.asarray(mesh.vertices) / np.asarray(mesh.vertices).max()
-        normals = np.asarray(mesh.vertex_normals)
-        colors = np.asarray(mesh.visual.vertex_colors[:, :3]) / 255.0
+    verts, normals, colors = meshio.load_mesh(model_path)
 
     pose = np.eye(4, dtype=np.float32)
     pose[:3, :3] = np.array([[1, 0, 0], [0, 0, -1], [0, 1, 0]], np.float32)

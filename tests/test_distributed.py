@@ -114,6 +114,45 @@ def test_two_process_distributed(tmp_path):
     np.testing.assert_allclose(reports[0]["losses"], single_losses,
                                rtol=1e-5)
 
+    # cross-process sharded_refine: both processes computed the identical
+    # replicated trajectory (every stage-1/stage-2 all_gather, loss psum
+    # and pmean-on-backward crossed the process boundary) ...
+    sr0, sr1 = reports[0]["sharded_refine"], reports[1]["sharded_refine"]
+    np.testing.assert_allclose(sr0["loss"], sr1["loss"], rtol=1e-6)
+    assert np.isfinite(sr0["loss"]).all()
+    for k in ("yaw", "trans", "scale"):
+        np.testing.assert_allclose(sr0[k], sr1[k], rtol=1e-6, err_msg=k)
+
+    # ... and the trajectory matches the same decomposition run
+    # single-process on a 4-virtual-device mesh (same shard count, same
+    # collectives — only the transport differs)
+    from sdflabel_tpu.engine import refine as refine_mod
+    from sdflabel_tpu.ops import grid as grid_ops
+    from sdflabel_tpu.parallel import sharded_refine
+    from sdflabel_tpu.renderer import rasterer as rast_mod
+
+    def sphere_dec(latent, pts):
+        return jnp.linalg.norm(pts, axis=-1) - (0.45 + 0.1 * latent[0])
+
+    crop_hw = (16, 16)
+    K = rast_mod.calibration_matrix(crop_hw)
+    grid_pts = np.asarray(grid_ops.generate_point_grid(16))
+    cfg = refine_mod.RefineConfig(iters=3, surface_capacity=256)
+    mesh_r = mesh_mod.make_mesh(n_data=1, n_rays=4,
+                                devices=jax.devices()[:4])
+    fn = sharded_refine.make_sharded_refine_fn(
+        sphere_dec, cfg, grid_pts, K, crop_hw, mesh_r, axis="rays")
+    rngr = np.random.RandomState(1)
+    nocs = rngr.rand(3, 16, 16).astype(np.float32) * 0.5
+    fr = (rngr.randn(512, 3) * 0.4 + [0, 0, 8.0]).astype(np.float32)
+    fm = np.ones(512, bool)
+    init = refine_mod.init_refine_params(
+        0.45, [0.05, -0.02, 4.05], 2.08, [0.0, 0.0, 0.0])
+    _, hist_single = fn(init, jnp.asarray(nocs), jnp.asarray(fr),
+                        jnp.asarray(fm))
+    np.testing.assert_allclose(sr0["loss"], np.asarray(hist_single),
+                               rtol=1e-5)
+
     # frame partition: disjoint, complete, each frame written exactly by
     # its owner
     all_frames = sorted(reports[0]["frames"] + reports[1]["frames"])
