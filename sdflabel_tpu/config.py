@@ -101,6 +101,11 @@ class RefineCfg:
     warm_band: int = 0
     warm_refresh: int = 10
     viz_type: str = "none"
+    # [visualization] live: publish each trajectory image to stable
+    # <viz_dir>/live/latest_*.png paths as it is written — the headless
+    # analogue of the reference's live cv2/Open3D windows
+    # (visualizer.py:9-120); point an auto-reloading viewer at them.
+    viz_live: bool = False
     weight_2d: float = 0.3
     weight_3d: float = 0.5
     labels_out: str = "test_labels"
@@ -145,6 +150,8 @@ class RefineCfg:
                 cfgp, "optimization", "warm_refresh", cls.warm_refresh
             ),
             viz_type=read_cfg_string(cfgp, "visualization", "viz_type", cls.viz_type),
+            viz_live=read_cfg_bool(cfgp, "visualization", "live",
+                                   cls.viz_live),
             weight_2d=read_cfg_float(cfgp, "losses", "2d_weight", cls.weight_2d),
             weight_3d=read_cfg_float(cfgp, "losses", "3d_weight", cls.weight_3d),
             labels_out=read_cfg_string(cfgp, "output", "labels", cls.labels_out),

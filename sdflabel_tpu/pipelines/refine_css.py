@@ -385,7 +385,8 @@ def finish_label(rt: RefineRuntime, final, sample: dict, anno: dict):
 
 
 def render_trajectory(rt: RefineRuntime, prep: dict, sample: dict, hist,
-                      out_dir: str, tag: str = "", max_frames: int = 8):
+                      out_dir: str, tag: str = "", max_frames: int = 8,
+                      live_dir: str | None = None):
     """Post-hoc per-iteration visualization from the scan history.
 
     The reference plots patches / full frame / 3D correspondences LIVE every
@@ -397,6 +398,15 @@ def render_trajectory(rt: RefineRuntime, prep: dict, sample: dict, hist,
       *_frame.png    normals overlaid into the frame bbox (:22-48)
       *_corr.png     ('3d' only) BEV correspondence heat lines (:51-88)
     Returns the list of written paths.
+
+    live_dir ([visualization] live = True): the headless analogue of the
+    reference's cv2/Open3D windows — as each trajectory image is written
+    it is also atomically published to `live_dir/latest_<kind>.png`
+    (stable paths; point any auto-reloading viewer / `watch`-style tool
+    at them to follow the optimization as the driver progresses). The
+    granularity is per re-rendered iteration, right after each crop's
+    jitted scan completes — per-iteration host callbacks inside the scan
+    would reintroduce the GPU->CPU sync the engine exists to eliminate.
     """
     from sdflabel_tpu.renderer import rasterer as rast_mod
     from sdflabel_tpu.utils import viz
@@ -405,6 +415,21 @@ def render_trajectory(rt: RefineRuntime, prep: dict, sample: dict, hist,
     if not viz_type or viz_type == "none":
         return []
     os.makedirs(out_dir, exist_ok=True)
+    if live_dir is None and getattr(rt.cfg, "viz_live", False):
+        live_dir = os.path.join(out_dir, "live")
+    if live_dir is not None:
+        os.makedirs(live_dir, exist_ok=True)
+
+    def publish(path):
+        if live_dir is None:
+            return
+        import shutil
+
+        kind = path.rsplit("_", 1)[-1]  # patches.png / frame.png / corr.png
+        tmp = os.path.join(live_dir, f".latest_{kind}.tmp")
+        shutil.copyfile(path, tmp)
+        os.replace(tmp, os.path.join(live_dir, f"latest_{kind}"))
+
     iters = len(np.asarray(hist.loss))
     sel = np.unique(np.linspace(0, iters - 1, max_frames).astype(int))
     h, w = prep["crop_hw"]
@@ -429,6 +454,7 @@ def render_trajectory(rt: RefineRuntime, prep: dict, sample: dict, hist,
         viz.plot_patches(np.asarray(rendering.color), prep["nocs_target"],
                          path=base + "_patches.png")
         written.append(base + "_patches.png")
+        publish(base + "_patches.png")
         if "image" in sample:
             # sample['image'] is cv2-loaded BGR (data/kitti.py); _save
             # writes through PIL as RGB — swap channels for the overlay
@@ -437,6 +463,7 @@ def render_trajectory(rt: RefineRuntime, prep: dict, sample: dict, hist,
                                 prep["anno"]["bbox"],
                                 path=base + "_frame.png")
             written.append(base + "_frame.png")
+            publish(base + "_frame.png")
         if viz_type == "3d":
             # model->scene nearest neighbors in the scale-normalized frame,
             # exactly the pairing the 3D loss uses (optimizer.py:180-181)
@@ -455,6 +482,7 @@ def render_trajectory(rt: RefineRuntime, prep: dict, sample: dict, hist,
                 mask_a=ok, mask_b=smask, path=base + "_corr.png",
             )
             written.append(base + "_corr.png")
+            publish(base + "_corr.png")
     return written
 
 

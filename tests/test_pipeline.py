@@ -338,7 +338,7 @@ def test_bundled_demo_end_to_end(tmp_path, monkeypatch):
         deepsdf_path=os.path.join(assets, "deepsdf_demo.pt"),
         label_type="maskrcnn", diff_annos="easy", grid_density=40,
         rendering_area=32, iters=20, pose_estimator="kabsch",
-        viz_type="3d", labels_out=out,
+        viz_type="3d", viz_live=True, labels_out=out,
     )
     np.random.seed(1)
     annos, ests = pipeline.refine_css_demo(cfg)
@@ -357,3 +357,8 @@ def test_bundled_demo_end_to_end(tmp_path, monkeypatch):
     assert any(f.endswith("_patches.png") for f in viz_files)
     assert any(f.endswith("_corr.png") for f in viz_files)
     assert os.path.exists(os.path.join(out, "demo_bev_0.png"))
+    # live-file mode ([visualization] live): stable latest_* paths were
+    # published alongside the trajectory (the headless live-window analogue)
+    live = os.path.join(out, "viz", "live")
+    assert os.path.exists(os.path.join(live, "latest_patches.png"))
+    assert os.path.exists(os.path.join(live, "latest_corr.png"))
