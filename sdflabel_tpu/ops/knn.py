@@ -41,19 +41,25 @@ def nearest_neighbor(
     # with K=3 the dot wastes the 128-wide MXU contraction (and HIGHEST
     # precision costs 6 bf16 passes — profiled at 0.14 ms for 4096x4096),
     # while the broadcast form is exact fp32 on the VPU and avoids the
-    # a^2-2ab+b^2 cancellation entirely. On TPU the (N, M, 3) diff is
-    # verified to fuse into the reduce (no 3x footprint) and measures ~4%
-    # faster end-to-end than per-coordinate accumulation; elsewhere the
-    # accumulated form bounds the largest intermediate at (N, M) without
-    # relying on reduce fusion.
-    if jax.default_backend() == "tpu":
-        diff = query[:, None, :] - data[None, :, :]
-        d2 = jnp.sum(diff * diff, axis=-1)
-    else:
-        d2 = sum(
-            jnp.square(query[:, None, c] - data[None, :, c])
-            for c in range(3)
-        )
+    # a^2-2ab+b^2 cancellation entirely.
+    #
+    # On TPU the whole min+argmin runs as the fused Pallas streaming
+    # kernel (ops.nn_pallas): XLA materializes the (N, M) matrix and
+    # argmins it in a second pass — a 64 MB HBM round trip at production
+    # 4096x4096 scale, profiled at 171 us/iter vs ~70 us of VPU work.
+    # Same exact-fp32 arithmetic, same first-min tie-breaking; masked
+    # distance sentinel 1e30 instead of inf (see nn_pallas docstring).
+    # Non-differentiable (all callers stop-gradient the NN inputs).
+    # Elsewhere the per-coordinate accumulated form bounds the largest
+    # intermediate at (N, M) without relying on reduce fusion.
+    if jax.default_backend() == "tpu" and query.shape[-1] == 3:
+        from sdflabel_tpu.ops import nn_pallas
+
+        return nn_pallas.nearest_neighbor_fused(query, data, data_mask)
+    d2 = sum(
+        jnp.square(query[:, None, c] - data[None, :, c])
+        for c in range(3)
+    )
     if data_mask is not None:
         d2 = jnp.where(data_mask[None, :], d2, jnp.inf)
     idx = jnp.argmin(d2, axis=-1)

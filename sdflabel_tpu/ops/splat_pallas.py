@@ -38,6 +38,7 @@ last-ulp footprint agreement for bandwidth).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -49,6 +50,11 @@ NK_EPS_THRESHOLD = 0.01  # primitives.py:213 guard on n . Kinv p
 NEG_BIG = -1e30
 _EPS = float(np.finfo(np.float32).eps)
 NUM_FEATURES = 8  # [color(3) | mask(1) | depth(1) | normal(3)]
+# Tile sizes, env-overridable for on-chip sweeps
+# (scripts/measure_splat_blocks.py); defaults are the measured best at the
+# production 4096 x 1024 refine scale.
+_DEF_BLOCK_PX = int(os.environ.get("SDFLABEL_SPLAT_BLOCK_PX", "256"))
+_DEF_CHUNK = int(os.environ.get("SDFLABEL_SPLAT_CHUNK", "512"))
 
 
 def _round_up(x, m):
@@ -346,8 +352,8 @@ def surfel_composite(
     point_mask: jax.Array | None = None,
     diam: float = 0.04,
     depth_constant: float = 150.0,
-    block_px: int = 256,
-    chunk: int = 512,
+    block_px: int = _DEF_BLOCK_PX,
+    chunk: int = _DEF_CHUNK,
 ) -> jax.Array:
     """Fused surfel splat + composite: (P, F=8) image rows.
 
