@@ -70,6 +70,8 @@ import os  # noqa: E402
 #   BENCH_SKIP_EXTRAS=1    headline only (skip variants/crops/css metrics)
 SELECT_BF16 = bool(int(os.environ.get("BENCH_SELECT_BF16", "0")))
 SELECT_PALLAS = bool(int(os.environ.get("BENCH_SELECT_PALLAS", "1")))
+# default 0 = the shipping default (measured 0.96x non-win, BENCH_NOTES)
+STAGE2_PALLAS = bool(int(os.environ.get("BENCH_STAGE2_PALLAS", "0")))
 WARM_BAND = int(os.environ.get("BENCH_WARM_BAND", "0"))
 WARM_REFRESH = int(os.environ.get("BENCH_WARM_REFRESH", "10"))
 SKIP_EXTRAS = bool(int(os.environ.get("BENCH_SKIP_EXTRAS", "0")))
@@ -120,6 +122,7 @@ def build_refine(select="default", warm_band=0, warm_refresh=10,
 
     cfg, decoder, params = _deepsdf_setup()
     sel = None
+    stage2 = None
     if select == "bf16":
         sel = deepsdf.select_sdf_fn(cfg, params)
     elif select == "default" and jax.default_backend() == "tpu":
@@ -127,6 +130,10 @@ def build_refine(select="default", warm_band=0, warm_refresh=10,
 
         sel = mlp_pallas.pallas_select_fn(cfg, params)
         assert sel is not None, "bench arch must be kernel-supported"
+    if STAGE2_PALLAS and jax.default_backend() == "tpu":
+        from sdflabel_tpu.ops import mlp2_pallas
+
+        stage2 = mlp2_pallas.pallas_stage2_fn(cfg, params)
     grid_pts = grid_ops.generate_point_grid(GRID_DENSITY)
     rcfg = refine_mod.RefineConfig(iters=iters,
                                    surface_capacity=capacity,
@@ -135,7 +142,7 @@ def build_refine(select="default", warm_band=0, warm_refresh=10,
     K = jnp.asarray(rast_mod.calibration_matrix((CROP, CROP)))
     refine_fn = jax.jit(
         refine_mod.make_refine_fn(decoder, rcfg, grid_pts, K, (CROP, CROP),
-                                  select_decoder=sel)
+                                  select_decoder=sel, stage2_fn=stage2)
     )
 
     rng = np.random.RandomState(0)

@@ -94,6 +94,19 @@ class RefineCfg:
     # path at reference scale on v5e (BENCH_NOTES.md "Fused selection
     # kernel"), stage-1 moves onto the MXU roofline.
     select_pallas: bool = True
+    # Fused stage-2 decode + analytic normals (TPU extension,
+    # ops.mlp2_pallas): the differentiable re-decode of the selected band
+    # runs forward + normals reverse sweep in one VMEM-resident launch
+    # (custom VJP for the loss backward). Numerics class = XLA's default
+    # TPU precision for the same chain (bf16-operand matmuls, fp32
+    # accumulation/activations) under either [optimization] precision.
+    # Requires a TPU backend and a supported architecture; falls back
+    # silently to the flax vjp path. Default OFF: measured 0.96x at
+    # reference scale on v5e — the kernel's backward recomputes the
+    # forward (60 vs 45 GFLOP) and loses to XLA's stored-activation
+    # chains (BENCH_NOTES.md "Fused stage-2"). Kept for VMEM-starved
+    # regimes where XLA's 29 MB activation stash is the constraint.
+    stage2_pallas: bool = False
     # Warm-started band selection (TPU extension, engine.refine): full-grid
     # candidate refresh every `warm_refresh` iterations, band top-k on the
     # `warm_band`-point candidate set in between. 0 = off (exact full-grid
@@ -142,6 +155,9 @@ class RefineCfg:
             ),
             select_pallas=read_cfg_bool(
                 cfgp, "optimization", "select_pallas", cls.select_pallas
+            ),
+            stage2_pallas=read_cfg_bool(
+                cfgp, "optimization", "stage2_pallas", cls.stage2_pallas
             ),
             warm_band=read_cfg_int(
                 cfgp, "optimization", "warm_band", cls.warm_band

@@ -123,6 +123,7 @@ def make_refine_fn(
     K: jax.Array,
     crop_hw: tuple[int, int],
     select_decoder=None,
+    stage2_fn=None,
 ):
     """Build the jit-compiled refinement function for a fixed crop geometry.
 
@@ -134,6 +135,9 @@ def make_refine_fn(
         non-differentiable band-selection pass each iteration; the K
         selected points are still decoded by `sdf_decoder` exactly. See
         grid.surface_from_decoder(select_decoder_fn=...).
+      stage2_fn: optional fused stage-2 decode+normals
+        (ops.mlp2_pallas.pallas_stage2_fn) — same numerics class as the
+        XLA lowering of the same chain; see grid._stage2_surface.
 
     Returns refine(params0, nocs_target, frustum_pts, frustum_mask)
       -> (final RefineParams, RefineStepOut history over iters).
@@ -183,6 +187,7 @@ def make_refine_fn(
                 capacity=cfg.surface_capacity,
                 threshold=cfg.surface_threshold,
                 select_decoder_fn=select_decoder,
+                stage2_fn=stage2_fn,
             )
         else:
             surf, _sdf = grid_ops.surface_from_decoder(
@@ -192,6 +197,7 @@ def make_refine_fn(
                 coarse_cells=cfg.coarse_cells,
                 coarse_factor=cfg.coarse_factor,
                 select_decoder_fn=select_decoder,
+                stage2_fn=stage2_fn,
             )
 
         rendering, points = rast_mod.render(

@@ -131,6 +131,7 @@ def surface_from_decoder(
     coarse_cells: int | None = None,
     coarse_factor: int = 2,
     select_decoder_fn=None,
+    stage2_fn=None,
 ) -> tuple[SurfacePoints, jax.Array]:
     """Decode SDF on `points` and isosurface-project in one jittable call.
 
@@ -171,6 +172,12 @@ def surface_from_decoder(
     Borderline band membership may differ by low-precision rank swaps
     (same contract class as coarse_cells). OFF by default.
 
+    stage2_fn (opt-in, requires two_stage): a fused replacement for the
+    stage-2 differentiable decode — `(latent, pts) -> (sdf, raw_grads)`,
+    differentiable in latent and pts, e.g.
+    ops.mlp2_pallas.pallas_stage2_fn. Numerics class: XLA's default TPU
+    matmul precision for the same chain (see that module's contract).
+
     Returns (surface_points, sdf_grid) — sdf_grid is the full-grid decode
     (stop-gradded under two_stage; callers use it diagnostically). Under
     coarse_cells, sdf_grid covers only the candidate subset
@@ -182,6 +189,8 @@ def surface_from_decoder(
             raise ValueError("coarse_cells requires two_stage=True")
         if select_decoder_fn is not None:
             raise ValueError("select_decoder_fn requires two_stage=True")
+        if stage2_fn is not None:
+            raise ValueError("stage2_fn requires two_stage=True")
         sdf, vjp_fn = jax.vjp(
             lambda p: decoder_fn(latent, p).reshape(-1), points
         )
@@ -221,21 +230,30 @@ def surface_from_decoder(
     pts_sel = jnp.take(points, idx, axis=0)
 
     # --- stage 2: differentiable decode + normals at selected points ---
-    return _stage2_surface(decoder_fn, latent, pts_sel, threshold), sdf_all
+    return _stage2_surface(decoder_fn, latent, pts_sel, threshold,
+                           stage2_fn=stage2_fn), sdf_all
 
 
-def _stage2_surface(decoder_fn, latent, pts_sel, threshold) -> SurfacePoints:
+def _stage2_surface(decoder_fn, latent, pts_sel, threshold,
+                    stage2_fn=None) -> SurfacePoints:
     """The exact differentiable stage-2 decode: re-evaluate the selected
     points with the EXACT decoder, normals = per-point SDF gradient
     (stop-gradded leaf, matching optimizer.py:107), isosurface-project,
     band-mask. The single definition shared by surface_from_decoder and
     surface_from_candidates — their bit-identical-trajectory contracts
     (test_refine.py warm-band equivalence) require one copy of this math.
+
+    stage2_fn: optional fused decode+normals (ops.mlp2_pallas) — same
+    values/grads class as XLA's default lowering of this chain.
     """
-    sdf_sel, vjp_fn = jax.vjp(
-        lambda p: decoder_fn(latent, p).reshape(-1), pts_sel
-    )
-    (grads,) = vjp_fn(jnp.ones_like(sdf_sel))
+    if stage2_fn is not None:
+        sdf_sel, grads = stage2_fn(latent, pts_sel)
+        sdf_sel = sdf_sel.reshape(-1)
+    else:
+        sdf_sel, vjp_fn = jax.vjp(
+            lambda p: decoder_fn(latent, p).reshape(-1), pts_sel
+        )
+        (grads,) = vjp_fn(jnp.ones_like(sdf_sel))
     grads = jax.lax.stop_gradient(grads)
 
     norm = jnp.linalg.norm(grads, axis=-1, keepdims=True)
@@ -258,6 +276,7 @@ def surface_from_candidates(
     capacity: int,
     threshold: float = 0.03,
     select_decoder_fn=None,
+    stage2_fn=None,
 ) -> SurfacePoints:
     """Two-stage surface decode restricted to a candidate index set.
 
@@ -289,7 +308,8 @@ def surface_from_candidates(
         _, k_idx = jax.lax.top_k(-jnp.abs(sdf_cand), capacity)
         pts_sel = jnp.take(pts_cand, k_idx, axis=0)
 
-    return _stage2_surface(decoder_fn, latent, pts_sel, threshold)
+    return _stage2_surface(decoder_fn, latent, pts_sel, threshold,
+                           stage2_fn=stage2_fn)
 
 
 def band_candidates(

@@ -51,9 +51,11 @@ NEG_BIG = -1e30
 _EPS = float(np.finfo(np.float32).eps)
 NUM_FEATURES = 8  # [color(3) | mask(1) | depth(1) | normal(3)]
 # Tile sizes, env-overridable for on-chip sweeps
-# (scripts/measure_splat_blocks.py); defaults are the measured best at the
-# production 4096 x 1024 refine scale.
-_DEF_BLOCK_PX = int(os.environ.get("SDFLABEL_SPLAT_BLOCK_PX", "256"))
+# (scripts/measure_splat_blocks.py). Round-3 sweep at the production
+# 4096 x 1024 refine scale (rays/s of the full iteration, 240-iter scan):
+# 256/512: 421k · 256/1024: 422k · 512/512: 447k (best, +6%) ·
+# 512/1024: 444k · 1024/512: 441k · 1024/1024: VMEM OOM.
+_DEF_BLOCK_PX = int(os.environ.get("SDFLABEL_SPLAT_BLOCK_PX", "512"))
 _DEF_CHUNK = int(os.environ.get("SDFLABEL_SPLAT_CHUNK", "512"))
 
 
@@ -372,6 +374,8 @@ def surfel_composite(
     if point_mask is not None:
         pm = jax.lax.stop_gradient(point_mask.astype(jnp.float32))
     chunk = min(chunk, _round_up(max(points_cam.shape[0], 128), 128))
+    # don't pad tiny renders up to a full block (e.g. 16x16 crops)
+    block_px = min(block_px, _round_up(max(kinv_grid.shape[0], 128), 128))
     out = _surfel_composite_core(points_cam, normals_cam, features,
                                  kinv_grid, pm, diam, depth_constant,
                                  block_px, chunk)

@@ -26,6 +26,7 @@ def make_batched_refine(
     crop_hw: tuple[int, int],
     mesh: Mesh | None = None,
     select_decoder=None,
+    stage2_fn=None,
 ):
     """Returns refine_batch(params0_b, K_b, nocs_b, frustum_b, fmask_b,
     pixel_masks_b) — SIX arguments; the per-crop pixel validity mask is
@@ -43,7 +44,9 @@ def make_batched_refine(
 
     def one(params0, K, nocs, fr, fm, pm):
         fn = refine_mod.make_refine_fn(sdf_decoder, cfg, grid_points, K,
-                                       crop_hw, select_decoder=select_decoder)
+                                       crop_hw,
+                                       select_decoder=select_decoder,
+                                       stage2_fn=stage2_fn)
         return fn(params0, nocs, fr, fm, pm)
 
     batched = jax.vmap(one)

@@ -124,6 +124,17 @@ class RefineRuntime:
             sel = mlp_pallas.pallas_select_fn(dsdf_cfg, dsdf_params)
             if sel is not None:
                 self.select_decoder = sel
+        # Fused stage-2 decode+normals ([optimization] stage2_pallas,
+        # ops.mlp2_pallas): the differentiable band re-decode as one
+        # VMEM-resident launch. Same numerics class as the XLA lowering
+        # of the chain; silent fallback off-TPU / unsupported archs.
+        self.stage2_fn = None
+        if (getattr(cfg, "stage2_pallas", False)
+                and jax.default_backend() == "tpu"):
+            from sdflabel_tpu.ops import mlp2_pallas
+
+            self.stage2_fn = mlp2_pallas.pallas_stage2_fn(
+                dsdf_cfg, dsdf_params)
         self.grid_points = grid_ops.generate_point_grid(cfg.grid_density)
         self.surface_capacity = (
             surface_capacity if surface_capacity is not None
@@ -211,6 +222,7 @@ class RefineRuntime:
                 return refine_mod.make_refine_fn(
                     self.decoder, rcfg, self.grid_points, K_arr, crop_hw,
                     select_decoder=self.select_decoder,
+                    stage2_fn=self.stage2_fn,
                 )(params0, nocs, fr, fm)
 
             self._refine_cache[key] = jax.jit(fn)
@@ -572,7 +584,7 @@ def refine_crops_batched(rt: RefineRuntime, sample: dict, preps: list,
         )
         rt._refine_cache[key] = batched_refine.make_batched_refine(
             rt.decoder, rcfg, rt.grid_points, (bh, bw), mesh=None,
-            select_decoder=rt.select_decoder,
+            select_decoder=rt.select_decoder, stage2_fn=rt.stage2_fn,
         )
     fn = rt._refine_cache[key]
     final, hist = fn(params0, jnp.asarray(Kb), jnp.asarray(nocs),
