@@ -6,12 +6,13 @@ and image_box_overlap (:358-379).
 
 TPU design (SURVEY.md §2.C.1): instead of the CUDA kernel's per-thread
 polygon clipping with local arrays and data-dependent branches, the
-intersection area is computed by Sutherland–Hodgman clipping with FIXED
-8-vertex buffers and masked writes — every (box, query) pair is a fixed
-amount of straight-line arithmetic, vmapped over the N x K pair grid. The
-result matches the reference's corner/intersection enumeration on generic
-inputs (identical convex-polygon intersection, different but equivalent
-construction).
+intersection area is computed by Sutherland–Hodgman clipping over a
+STATIC slot layout (fixed capacity, validity masks, no compaction — see
+_clip_halfplane for why) — every (box, query) pair is a fixed amount of
+straight-line arithmetic with no gather/scatter ops, vmapped over the
+N x K pair grid. The result matches the reference's corner/intersection
+enumeration on generic inputs (identical convex-polygon intersection,
+different but equivalent construction).
 
 Boxes are (cx, cy, w, h, angle) with the reference's clockwise-rotation
 corner convention (rotate_iou.py:206-239).
@@ -25,9 +26,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-_CAP = 8  # convex quad ∩ convex quad has at most 8 vertices
-
-
 def box_corners(box: jax.Array) -> jax.Array:
     """(5,) rbbox -> (4, 2) corners, reference convention
     (rotate_iou.py:206-239: x' = c*x + s*y + cx, y' = -s*x + c*y + cy)."""
@@ -40,60 +38,92 @@ def box_corners(box: jax.Array) -> jax.Array:
     return jnp.stack([px, py], axis=-1)
 
 
-def _polygon_signed_area(verts: jax.Array, count: jax.Array) -> jax.Array:
-    """Shoelace area of the first `count` vertices (capacity _CAP)."""
-    idx = jnp.arange(_CAP)
-    nxt = jnp.where(idx + 1 >= count, 0, idx + 1)
+def _onehot_gather(verts: jax.Array, idx: jax.Array) -> jax.Array:
+    """verts[idx] via a one-hot contraction — no gather op.
+
+    Vmapped gathers/scatters over the N x K pair grid lower to serial
+    scatter loops on TPU (measured: 0.3 M pairs/s, ~100x below the VPU
+    rate). A one-hot mask + sum is pure broadcast arithmetic and
+    vectorizes across the whole pair batch.
+    """
+    k = verts.shape[0]
+    sel = idx[:, None] == jnp.arange(k)[None, :]  # (K, K)
+    return jnp.sum(jnp.where(sel[:, :, None], verts[None, :, :], 0.0), axis=1)
+
+
+def _next_valid(valid: jax.Array) -> jax.Array:
+    """Index of the cyclically-next True slot after each slot.
+
+    Exact integer arithmetic on the validity mask; slots with no valid
+    successor (empty polygon) resolve to 0, which callers mask out.
+    """
+    k = valid.shape[0]
+    idx = jnp.arange(k)
+    fwd = (idx[None, :] - idx[:, None] - 1) % k + 1  # cyclic dist in 1..k
+    fwd = jnp.where(valid[None, :], fwd, k + 1)
+    return jnp.argmin(fwd, axis=1)
+
+
+def _polygon_signed_area(verts: jax.Array, valid: jax.Array) -> jax.Array:
+    """Shoelace area of the valid slots of a cyclic vertex list."""
+    nxt = _onehot_gather(verts, _next_valid(valid))
     x, y = verts[:, 0], verts[:, 1]
-    xn = jnp.take(x, nxt)
-    yn = jnp.take(y, nxt)
-    terms = x * yn - xn * y
-    terms = jnp.where(idx < count, terms, 0.0)
+    xn, yn = nxt[:, 0], nxt[:, 1]
+    terms = jnp.where(valid, x * yn - xn * y, 0.0)
     return 0.5 * jnp.sum(terms)
 
 
-def _clip_halfplane(verts, count, a, b, c):
-    """Clip polygon (verts, count) by half-plane a*x + b*y + c >= 0.
+def _clip_halfplane(verts, valid, a, b, c):
+    """Clip polygon (verts, valid) by half-plane a*x + b*y + c >= 0.
 
-    Branch-free Sutherland–Hodgman step with masked scatter writes.
+    Branch-free Sutherland–Hodgman step with a STATIC slot layout: input
+    slot i emits its vertex into output slot 2i and its edge-crossing
+    intersection into slot 2i+1, each with a validity bit — capacity
+    doubles per clip and there is no compaction.
+
+    Why no compaction: a compacted layout assigns output slots by a
+    cumsum over the emission flags, which requires every use of those
+    flags to observe the SAME evaluation. XLA rematerializes the
+    flag expressions into several fusions with different FMA
+    contractions, and at boundary-degenerate inputs (self-IoU, d == 0)
+    the copies can disagree in sign — the cumsum then collides two
+    emissions on one slot (observed on the CPU backend at batch >= 2;
+    jax.lax.optimization_barrier is dropped by the CPU pipeline and does
+    not prevent it). With static slots, an inconsistent boundary flag
+    can only add/drop a vertex that lies ON the clip line — an
+    epsilon-area sliver — never corrupt the polygon structure.
     """
-    idx = jnp.arange(_CAP)
-    nxt_idx = jnp.where(idx + 1 >= count, 0, idx + 1)
+    nxt_idx = _next_valid(valid)
     cur = verts
-    nxt = jnp.take(verts, nxt_idx, axis=0)
+    nxt = _onehot_gather(verts, nxt_idx)
 
     d_cur = a * cur[:, 0] + b * cur[:, 1] + c
     d_nxt = a * nxt[:, 0] + b * nxt[:, 1] + c
     cur_in = d_cur >= 0
     nxt_in = d_nxt >= 0
-    active = idx < count
 
     # intersection point of segment (cur, nxt) with the plane
     denom = d_cur - d_nxt
     t = d_cur / jnp.where(jnp.abs(denom) < 1e-12, 1e-12, denom)
     inter = cur + t[:, None] * (nxt - cur)
 
-    emit_cur = active & cur_in
-    emit_int = active & (cur_in != nxt_in)
-
-    counts = emit_cur.astype(jnp.int32) + emit_int.astype(jnp.int32)
-    start = jnp.cumsum(counts) - counts  # exclusive prefix sum
-
-    # Valid emissions get unique slots via the prefix sum (total <= _CAP);
-    # invalid emissions are routed to index _CAP, which mode="drop" discards.
-    out = jnp.zeros_like(verts)
-    pos_cur = jnp.where(emit_cur, start, _CAP)
-    out = out.at[pos_cur].set(cur, mode="drop")
-    pos_int = jnp.where(emit_int, start + emit_cur.astype(jnp.int32), _CAP)
-    out = out.at[pos_int].set(inter, mode="drop")
-    new_count = jnp.sum(counts)
-    return out, new_count
+    out = jnp.stack([cur, inter], axis=1).reshape(-1, 2)  # (2K, 2)
+    valid_out = jnp.stack(
+        [valid & cur_in, valid & (cur_in != nxt_in)], axis=1
+    ).reshape(-1)
+    return out, valid_out
 
 
 def _intersection_area(corners1: jax.Array, corners2: jax.Array) -> jax.Array:
-    """Area of the intersection of two convex quads, SH clipping."""
-    verts = jnp.zeros((_CAP, 2), corners1.dtype).at[:4].set(corners1)
-    count = jnp.asarray(4, jnp.int32)
+    """Area of the intersection of two convex quads, SH clipping.
+
+    Capacity grows 4 -> 8 -> 16 -> 32 -> 64 across the four clips (static
+    slots, see _clip_halfplane); ~64 lanes of exact mask bookkeeping per
+    pair is cheap vectorized VPU work, and the layout is robust to the
+    FMA-rematerialization hazard that breaks compacted layouts.
+    """
+    verts = corners1
+    valid = jnp.ones((4,), bool)
 
     # half-planes of quad2, oriented so the interior is >= 0
     idx = jnp.arange(4)
@@ -109,9 +139,9 @@ def _intersection_area(corners1: jax.Array, corners2: jax.Array) -> jax.Array:
     a, b, c = a * sign, b * sign, c * sign
 
     for i in range(4):
-        verts, count = _clip_halfplane(verts, count, a[i], b[i], c[i])
+        verts, valid = _clip_halfplane(verts, valid, a[i], b[i], c[i])
 
-    return jnp.abs(_polygon_signed_area(verts, count))
+    return jnp.abs(_polygon_signed_area(verts, valid))
 
 
 def _pair_iou(box: jax.Array, qbox: jax.Array, criterion: int) -> jax.Array:
