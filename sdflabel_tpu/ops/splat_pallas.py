@@ -57,6 +57,12 @@ NUM_FEATURES = 8  # [color(3) | mask(1) | depth(1) | normal(3)]
 # 512/1024: 444k · 1024/512: 441k · 1024/1024: VMEM OOM.
 _DEF_BLOCK_PX = int(os.environ.get("SDFLABEL_SPLAT_BLOCK_PX", "512"))
 _DEF_CHUNK = int(os.environ.get("SDFLABEL_SPLAT_CHUNK", "512"))
+# Row-binned sparse splatting: pixel-block size for the binned kernels.
+# -1 = auto (on at 512 for renders >= _BIN_MIN_PX pixels, off below — the
+# measured crossover, see BENCH_NOTES "Row-binned splat"), 0 = always off.
+_DEF_BIN_PX = int(os.environ.get("SDFLABEL_SPLAT_BIN_PX", "-1"))
+_BIN_AUTO_PX = 512
+_BIN_MIN_PX = 4096
 
 
 def _round_up(x, m):
@@ -196,6 +202,200 @@ def _grads_kernel(pts_ref, feat_ref, kg_ref, gimg_ref, m_ref, d_ref, zn_ref,
 
 
 # ---------------------------------------------------------------------------
+# Row-binned kernels: skip (point-chunk, pixel-block) pairs that cannot
+# interact.
+#
+# At refinement scale each splat's footprint is ~2 px radius while the
+# dense kernels sweep every point chunk over every pixel block — ~4:1
+# wasted VPU interaction math (the round-3 profile's dominant non-MXU
+# cost). Binning: points are sorted by the FIRST pixel row-block their
+# footprint can touch; each row-block then reads a contiguous window of
+# the sorted array via scalar-prefetched chunk offsets, and chunks
+# outside the window are predicated off with pl.when. Correctness never
+# depends on the bin bounds being tight: the kernels evaluate the exact
+# footprint test for every (point, pixel) pair they do visit, so the
+# bounds only need to be CONSERVATIVE (a missed pair would be silent
+# wrongness; an extra pair is just wasted work). Degenerate points
+# (behind / straddling the camera plane, where no depth bound exists)
+# conservatively overlap every block, gracefully degrading that
+# iteration toward the dense sweep.
+#
+# Conservative row bound (no intrinsics needed — derived from the ray
+# grid itself): a pixel ray g can only splat point v if the tangent-disc
+# intersection x = g*z lands within diam of v, which needs
+# |v_z - g_z z| <= diam and |v_y - g_y z| <= diam componentwise. With
+# per-block bounds on g_z this caps z in [zlo/gz_hi, zhi/gz_lo] and
+# therefore g_y in the corner range of (v_y ± diam)/z — compared against
+# the block's actual [min g_y, max g_y]. Monotonicity of g_y over rows
+# makes the touched blocks an interval, but even if it were not, the
+# [first, last] interval is a superset and stays conservative.
+# ---------------------------------------------------------------------------
+
+
+def _compute_bins(pts, kg_t, diam, block_px, chunk):
+    """Sort points by first touchable row-block; per-block chunk windows.
+
+    Returns (order, start_chunk, n_chunks) — `order` a permutation of the
+    padded point axis, and for each of the P//block_px row-blocks the
+    first chunk index of its window in the sorted array and the number of
+    chunks to visit. All int32. Pure XLA; runs once per iteration and is
+    shared by the three kernel passes.
+    """
+    n_blocks = kg_t.shape[1] // block_px
+    gy = kg_t[1].reshape(n_blocks, block_px)
+    gz = kg_t[2].reshape(n_blocks, block_px)
+    m_b, big_m = gy.min(1), gy.max(1)  # (B,)
+    gz_lo, gz_hi = gz.min(1), gz.max(1)
+
+    v_y, v_z, mask = pts[:, 1], pts[:, 2], pts[:, 6]
+    zlo, zhi = v_z - diam, v_z + diam
+    ylo, yhi = v_y - diam, v_y + diam
+
+    safe_zlo = jnp.maximum(zlo, 1e-12)[:, None]
+    safe_gzlo = jnp.maximum(gz_lo, 1e-12)[None, :]
+    t_lo = safe_zlo / jnp.maximum(gz_hi, 1e-12)[None, :]  # (N, B)
+    t_hi = zhi[:, None] / safe_gzlo
+    gy_lo = jnp.minimum(ylo[:, None] / t_lo, ylo[:, None] / t_hi)
+    gy_hi = jnp.maximum(yhi[:, None] / t_lo, yhi[:, None] / t_hi)
+    ov = (gy_lo <= big_m[None, :]) & (gy_hi >= m_b[None, :])
+    # no usable depth/ray bound -> conservatively touch everything
+    ov = ov | (gz_lo <= 0)[None, :]
+    ov = jnp.where((zlo > 0)[:, None], ov, True)
+    ov = ov & (mask > 0.5)[:, None]  # masked/padded points touch nothing
+
+    any_ov = ov.any(axis=1)
+    first = jnp.argmax(ov, axis=1).astype(jnp.int32)
+    last = (n_blocks - 1) - jnp.argmax(ov[:, ::-1], axis=1).astype(jnp.int32)
+    span = jnp.where(any_ov, last - first, 0)
+    key = jnp.where(any_ov, first, 0)
+
+    order = jnp.argsort(key).astype(jnp.int32)
+    key_sorted = jnp.take(key, order)
+    smax = jnp.max(span)
+
+    blocks = jnp.arange(n_blocks, dtype=jnp.int32)
+    starts = jnp.searchsorted(key_sorted, blocks - smax, side="left")
+    ends = jnp.searchsorted(key_sorted, blocks, side="right")
+    start_chunk = (starts // chunk).astype(jnp.int32)
+    end_chunk = ((ends + chunk - 1) // chunk).astype(jnp.int32)
+    n_chunks = jnp.maximum(end_chunk - start_chunk, 0).astype(jnp.int32)
+    return order, start_chunk, n_chunks
+
+
+def _znorm_kernel_binned(sc_ref, nc_ref, pts_ref, kg_ref, zn_ref, ssq_ref,
+                         *, diam):
+    b = pl.program_id(0)
+    c = pl.program_id(1)
+    n_c = pl.num_programs(1)
+
+    @pl.when(c == 0)
+    def _():
+        ssq_ref[:, :] = jnp.zeros_like(ssq_ref)
+
+    @pl.when(c < nc_ref[b])
+    def _():
+        z, _, _, fp = _geometry(pts_ref, kg_ref, diam)
+        zm = jnp.where(fp, z, 0.0)
+        ssq_ref[:, :] += jnp.sum(zm * zm, axis=0, keepdims=True)
+
+    @pl.when(c == n_c - 1)
+    def _():
+        zn_ref[:, :] = jnp.sqrt(ssq_ref[:, :])
+
+
+def _softmax_kernel_binned(sc_ref, nc_ref, pts_ref, feat_ref, kg_ref, zn_ref,
+                           img_ref, m_ref, d_ref, sm_m, sm_d, sm_acc, *,
+                           diam, depth_constant):
+    b = pl.program_id(0)
+    c = pl.program_id(1)
+    n_c = pl.num_programs(1)
+
+    @pl.when(c == 0)
+    def _():
+        sm_m[:, :] = jnp.full_like(sm_m, NEG_BIG)
+        sm_d[:, :] = jnp.zeros_like(sm_d)
+        sm_acc[:, :] = jnp.zeros_like(sm_acc)
+
+    @pl.when(c < nc_ref[b])
+    def _():
+        znorm = zn_ref[0:1, :]  # (1, PB)
+        z, _, _, fp = _geometry(pts_ref, kg_ref, diam)
+        s = jnp.maximum(-z / (znorm + _EPS) + 1.0, 0.0) * depth_constant
+        s = jnp.where(fp, s, NEG_BIG)
+        m_prev = sm_m[0:1, :]
+        cmax = jnp.max(s, axis=0, keepdims=True)
+        new_m = jnp.maximum(m_prev, cmax)
+        scale = jnp.exp(m_prev - new_m)
+        w = jnp.where(fp, jnp.exp(s - new_m), 0.0)
+        sm_m[:, :] = new_m
+        sm_d[:, :] = sm_d[:, :] * scale + jnp.sum(w, axis=0, keepdims=True)
+        for f in range(NUM_FEATURES):
+            sm_acc[f : f + 1, :] = sm_acc[f : f + 1, :] * scale + jnp.sum(
+                w * feat_ref[:, f : f + 1], axis=0, keepdims=True
+            )
+
+    @pl.when(c == n_c - 1)
+    def _():
+        d = sm_d[:, :]
+        inv = jnp.where(d > 0, 1.0 / jnp.maximum(d, 1e-30), 0.0)
+        img_ref[:, :] = sm_acc[:, :] * inv
+        m_ref[:, :] = sm_m[:, :]
+        d_ref[:, :] = d
+
+
+def _grads_kernel_binned(sc_ref, nc_ref, pts_ref, feat_ref, kg_ref, gimg_ref,
+                         m_ref, d_ref, zn_ref, corr_ref, dv_ref, dn_ref,
+                         df_ref, *, diam, depth_constant):
+    # grid: (global point chunk OUTER, pixel block INNER) — the per-point
+    # gradient output block is revisited across the inner pixel sweep and
+    # accumulated in place; inactive (chunk, block) pairs (the chunk is
+    # outside the block's window) are predicated off.
+    c = pl.program_id(0)
+    b = pl.program_id(1)
+
+    @pl.when(b == 0)
+    def _():
+        dv_ref[:, :] = jnp.zeros_like(dv_ref)
+        dn_ref[:, :] = jnp.zeros_like(dn_ref)
+        df_ref[:, :] = jnp.zeros_like(df_ref)
+
+    @pl.when((c >= sc_ref[b]) & (c < sc_ref[b] + nc_ref[b]))
+    def _():
+        d = d_ref[0:1, :]
+        inv_d = jnp.where(d > 0, 1.0 / jnp.maximum(d, 1e-30), 0.0)
+        znorm = zn_ref[0:1, :]
+        z, nk, guard, x, p = _probs(pts_ref, kg_ref, znorm, m_ref[0:1, :],
+                                    inv_d, diam, depth_constant)
+        gx, gy, gz = kg_ref[0:1, :], kg_ref[1:2, :], kg_ref[2:3, :]
+        v0, v1, v2 = pts_ref[:, 0:1], pts_ref[:, 1:2], pts_ref[:, 2:3]
+        n0, n1, n2 = pts_ref[:, 3:4], pts_ref[:, 4:5], pts_ref[:, 5:6]
+
+        u = jnp.zeros_like(p)
+        for f in range(NUM_FEATURES):
+            u = u + feat_ref[:, f : f + 1] * gimg_ref[f : f + 1, :]
+        ds = p * (u - corr_ref[0:1, :])
+        dx = jnp.where(x > 0, ds * depth_constant, 0.0)
+        dz = -dx / (znorm + _EPS)
+        dnv = jnp.where(guard, 0.0, dz / nk)
+        dnk = jnp.where(guard, 0.0, -dz * z / nk)
+        dnv_i = jnp.sum(dnv, axis=1, keepdims=True)
+
+        for f in range(NUM_FEATURES):
+            df_ref[:, f : f + 1] += jnp.sum(
+                p * gimg_ref[f : f + 1, :], axis=1, keepdims=True
+            )
+        dn_ref[:, 0:1] += dnv_i * v0 + jnp.sum(dnk * gx, axis=1,
+                                               keepdims=True)
+        dn_ref[:, 1:2] += dnv_i * v1 + jnp.sum(dnk * gy, axis=1,
+                                               keepdims=True)
+        dn_ref[:, 2:3] += dnv_i * v2 + jnp.sum(dnk * gz, axis=1,
+                                               keepdims=True)
+        dv_ref[:, 0:1] += dnv_i * n0
+        dv_ref[:, 1:2] += dnv_i * n1
+        dv_ref[:, 2:3] += dnv_i * n2
+
+
+# ---------------------------------------------------------------------------
 # Host-side wrapper with custom VJP
 # ---------------------------------------------------------------------------
 
@@ -224,15 +424,71 @@ def _pack(points_cam, normals_cam, point_mask, features, kinv_grid, chunk,
 
 
 def _fwd_call(points_cam, normals_cam, features, kinv_grid, point_mask,
-              diam, depth_constant, block_px, chunk):
+              diam, depth_constant, block_px, chunk, bin_px):
     p = kinv_grid.shape[0]
     f = features.shape[1]
     assert f == NUM_FEATURES, f
     pts, feats, kg_t, n_pad, p_pad = _pack(
         points_cam, normals_cam, point_mask, features, kinv_grid, chunk,
-        block_px,
+        block_px if not bin_px else bin_px,
     )
     n_chunks = n_pad // chunk
+
+    if bin_px:
+        pb = bin_px
+        order, sc, nc = _compute_bins(pts, kg_t, diam, pb, chunk)
+        pts = jnp.take(pts, order, axis=0)
+        feats = jnp.take(feats, order, axis=0)
+        max_chunk = n_chunks - 1
+
+        pts_spec = pl.BlockSpec(
+            (chunk, 8),
+            lambda b, c, sc, nc: (jnp.minimum(sc[b] + c, max_chunk), 0),
+            memory_space=pltpu.VMEM)
+        feat_spec = pl.BlockSpec(
+            (chunk, f),
+            lambda b, c, sc, nc: (jnp.minimum(sc[b] + c, max_chunk), 0),
+            memory_space=pltpu.VMEM)
+        kg_spec = pl.BlockSpec((4, pb), lambda b, c, sc, nc: (0, b),
+                               memory_space=pltpu.VMEM)
+        row_spec = lambda w: pl.BlockSpec(
+            (w, pb), lambda b, c, sc, nc: (0, b), memory_space=pltpu.VMEM)
+
+        zn = pl.pallas_call(
+            functools.partial(_znorm_kernel_binned, diam=diam),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=2,
+                grid=(p_pad // pb, n_chunks),
+                in_specs=[pts_spec, kg_spec],
+                out_specs=row_spec(1),
+                scratch_shapes=[pltpu.VMEM((1, pb), jnp.float32)],
+            ),
+            out_shape=jax.ShapeDtypeStruct((1, p_pad), jnp.float32),
+        )(sc, nc, pts, kg_t)
+
+        img_t, m, d = pl.pallas_call(
+            functools.partial(_softmax_kernel_binned, diam=diam,
+                              depth_constant=depth_constant),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=2,
+                grid=(p_pad // pb, n_chunks),
+                in_specs=[pts_spec, feat_spec, kg_spec, row_spec(1)],
+                out_specs=[row_spec(f), row_spec(1), row_spec(1)],
+                scratch_shapes=[
+                    pltpu.VMEM((1, pb), jnp.float32),
+                    pltpu.VMEM((1, pb), jnp.float32),
+                    pltpu.VMEM((f, pb), jnp.float32),
+                ],
+            ),
+            out_shape=[
+                jax.ShapeDtypeStruct((f, p_pad), jnp.float32),
+                jax.ShapeDtypeStruct((1, p_pad), jnp.float32),
+                jax.ShapeDtypeStruct((1, p_pad), jnp.float32),
+            ],
+        )(sc, nc, pts, feats, kg_t, zn)
+        return img_t[:, :p].T, (pts, feats, kg_t, m, d, zn, img_t,
+                                points_cam.shape[0], p, order, sc, nc)
+
     pb = block_px
 
     pts_spec = pl.BlockSpec((chunk, 8), lambda i, c: (c, 0),
@@ -271,48 +527,76 @@ def _fwd_call(points_cam, normals_cam, features, kinv_grid, point_mask,
         ],
     )(pts, feats, kg_t, zn)
     return img_t[:, :p].T, (pts, feats, kg_t, m, d, zn, img_t,
-                            points_cam.shape[0], p)
+                            points_cam.shape[0], p, None, None, None)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
 def _surfel_composite_core(points_cam, normals_cam, features, kinv_grid,
                            point_mask, diam, depth_constant, block_px,
-                           chunk):
+                           chunk, bin_px):
     out, _ = _fwd_call(points_cam, normals_cam, features, kinv_grid,
-                       point_mask, diam, depth_constant, block_px, chunk)
+                       point_mask, diam, depth_constant, block_px, chunk,
+                       bin_px)
     return out
 
 
 def _core_fwd(points_cam, normals_cam, features, kinv_grid, point_mask,
-              diam, depth_constant, block_px, chunk):
+              diam, depth_constant, block_px, chunk, bin_px):
     out, res = _fwd_call(points_cam, normals_cam, features, kinv_grid,
-                         point_mask, diam, depth_constant, block_px, chunk)
+                         point_mask, diam, depth_constant, block_px, chunk,
+                         bin_px)
     return out, res
 
 
-def _core_bwd(diam, depth_constant, block_px, chunk, res, g_img):
-    pts, feats, kg_t, m, d, zn, img_t, n, p = res
+def _core_bwd(diam, depth_constant, block_px, chunk, bin_px, res, g_img):
+    pts, feats, kg_t, m, d, zn, img_t, n, p, order, sc, nc = res
     n_pad, f = feats.shape
     n_chunks = n_pad // chunk
     p_pad = kg_t.shape[1]
-    pb = block_px
+    pb = bin_px if bin_px else block_px
 
     g_img_t = jnp.pad(g_img.astype(jnp.float32).T, ((0, 0), (0, p_pad - p)))
-
-    pts_spec = pl.BlockSpec((chunk, 8), lambda i, c: (c, 0),
-                            memory_space=pltpu.VMEM)
-    feat_spec = pl.BlockSpec((chunk, f), lambda i, c: (c, 0),
-                             memory_space=pltpu.VMEM)
-    kg_spec = pl.BlockSpec((4, pb), lambda i, c: (0, i),
-                           memory_space=pltpu.VMEM)
-    row_spec = lambda w: pl.BlockSpec((w, pb), lambda i, c: (0, i),
-                                      memory_space=pltpu.VMEM)
 
     # Softmax-correction identity: corr_p = sum_i p_ip (g_p . f_i)
     #                                     = g_p . (sum_i p_ip f_i) = g_p . img_p
     # — the forward output IS the probability-weighted feature sum, so the
     # whole correction pass collapses to one tiny elementwise reduction.
     corr = jnp.sum(g_img_t * img_t, axis=0, keepdims=True)  # (1, p_pad)
+
+    if bin_px:
+        max_chunk = n_chunks - 1  # noqa: F841 (kept for symmetry with fwd)
+        pts_spec_b = pl.BlockSpec((chunk, 8), lambda c, b, sc, nc: (c, 0),
+                                  memory_space=pltpu.VMEM)
+        feat_spec_b = pl.BlockSpec((chunk, f), lambda c, b, sc, nc: (c, 0),
+                                   memory_space=pltpu.VMEM)
+        kg_spec_b = pl.BlockSpec((4, pb), lambda c, b, sc, nc: (0, b),
+                                 memory_space=pltpu.VMEM)
+        row_spec_b = lambda w: pl.BlockSpec(
+            (w, pb), lambda c, b, sc, nc: (0, b), memory_space=pltpu.VMEM)
+        pt_out_b = lambda w: pl.BlockSpec(
+            (chunk, w), lambda c, b, sc, nc: (c, 0), memory_space=pltpu.VMEM)
+
+        dv, dn, df = pl.pallas_call(
+            functools.partial(_grads_kernel_binned, diam=diam,
+                              depth_constant=depth_constant),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=2,
+                grid=(n_chunks, p_pad // pb),
+                in_specs=[pts_spec_b, feat_spec_b, kg_spec_b, row_spec_b(f),
+                          row_spec_b(1), row_spec_b(1), row_spec_b(1),
+                          row_spec_b(1)],
+                out_specs=[pt_out_b(3), pt_out_b(3), pt_out_b(f)],
+            ),
+            out_shape=[
+                jax.ShapeDtypeStruct((n_pad, 3), jnp.float32),
+                jax.ShapeDtypeStruct((n_pad, 3), jnp.float32),
+                jax.ShapeDtypeStruct((n_pad, f), jnp.float32),
+            ],
+        )(sc, nc, pts, feats, kg_t, g_img_t, m, d, zn, corr)
+        # grads are in sorted order; route each original point to its slot
+        inv = jnp.argsort(order)[:n]
+        return (jnp.take(dv, inv, axis=0), jnp.take(dn, inv, axis=0),
+                jnp.take(df, inv, axis=0), None, None)
 
     # point-major sweep: grid (N_chunks, P_blocks), per-point outputs
     # revisited+accumulated across the inner pixel sweep
@@ -356,6 +640,7 @@ def surfel_composite(
     depth_constant: float = 150.0,
     block_px: int = _DEF_BLOCK_PX,
     chunk: int = _DEF_CHUNK,
+    bin_px: int | None = None,
 ) -> jax.Array:
     """Fused surfel splat + composite: (P, F=8) image rows.
 
@@ -369,6 +654,14 @@ def surfel_composite(
     swap paths inside a loss that optimizes K. The result is returned in
     the input dtype (the kernel accumulates fp32 internally, like the
     oracle under HIGHEST precision).
+
+    `bin_px`: row-binned sparse splatting (see the binned-kernel section
+    above). None = module default (auto: on at 512-px blocks for renders
+    >= 4096 px — measured 1.3x at 64x64 up to 3.9x at 200x100 — off at
+    refinement scale where the sort/gather overhead exceeds the win);
+    0 = force dense; > 0 = force that pixel-block size. Binned reductions
+    accumulate in sorted point order: same values to fp32 reassociation
+    scale, not bit-identical to the dense sweep.
     """
     pm = None
     if point_mask is not None:
@@ -376,7 +669,14 @@ def surfel_composite(
     chunk = min(chunk, _round_up(max(points_cam.shape[0], 128), 128))
     # don't pad tiny renders up to a full block (e.g. 16x16 crops)
     block_px = min(block_px, _round_up(max(kinv_grid.shape[0], 128), 128))
+    if bin_px is None:
+        bin_px = _DEF_BIN_PX
+    if bin_px < 0:  # auto: measured win from _BIN_MIN_PX pixels up
+        bin_px = _BIN_AUTO_PX if kinv_grid.shape[0] >= _BIN_MIN_PX else 0
+    # binning needs >= 2 row-blocks to skip anything; fall back to dense
+    if bin_px and kinv_grid.shape[0] < 2 * bin_px:
+        bin_px = 0
     out = _surfel_composite_core(points_cam, normals_cam, features,
                                  kinv_grid, pm, diam, depth_constant,
-                                 block_px, chunk)
+                                 block_px, chunk, bin_px)
     return out.astype(points_cam.dtype)

@@ -118,3 +118,52 @@ def test_empty_surface_is_zero():
             jnp.asarray(kg), point_mask=jnp.asarray(mask), block_px=128,
         ))
     assert np.all(fused == 0)
+
+def test_binned_matches_dense_kernel():
+    """Row-binned sparse path == dense pallas sweep (values + grads).
+
+    The binned kernels evaluate the exact footprint test on every visited
+    pair, so only reduction order may differ (online-softmax
+    reassociation); differences must stay at fp32 reassociation scale.
+    Also covers degenerate points (behind-camera -> conservative
+    full-window fallback) and masked points.
+    """
+    pts, normals, feats, K, grid, kg, mask = _scene(n=520, seed=5)
+    # a few pathological points: behind the camera / straddling z=0
+    pts[:4, 2] = np.array([-3.0, -0.01, 0.02, 0.0], np.float32)
+
+    def loss(pts_j, normals_j, feats_j, bin_px):
+        img = splat_pallas.surfel_composite(
+            pts_j, normals_j, feats_j, jnp.asarray(kg),
+            point_mask=jnp.asarray(mask), diam=0.04, block_px=256,
+            bin_px=bin_px,
+        )
+        return jnp.sum(img**2) + jnp.sum(img), img
+
+    args = (jnp.asarray(pts), jnp.asarray(normals), jnp.asarray(feats))
+    with _interpret_ctx():
+        (ld, img_d), gd = jax.value_and_grad(
+            lambda *a: loss(*a, 0), argnums=(0, 1, 2), has_aux=True)(*args)
+        (lb, img_b), gb = jax.value_and_grad(
+            lambda *a: loss(*a, 128), argnums=(0, 1, 2), has_aux=True)(*args)
+
+    np.testing.assert_allclose(np.asarray(img_b), np.asarray(img_d),
+                               atol=2e-6)
+    np.testing.assert_allclose(float(lb), float(ld), rtol=1e-5)
+    for a, b, name in zip(gb, gd, ("pts", "normals", "feats")):
+        a, b = np.asarray(a), np.asarray(b)
+        denom = np.maximum(np.abs(b).max(), 1e-6)
+        np.testing.assert_allclose(a / denom, b / denom, atol=2e-5,
+                                   err_msg=name)
+
+
+def test_binned_tiny_render_falls_back():
+    # < 2 row-blocks: the wrapper must silently use the dense sweep
+    pts, normals, feats, K, grid, kg, mask = _scene(n=64, seed=6,
+                                                    res=(8, 8))
+    with _interpret_ctx():
+        out = np.asarray(splat_pallas.surfel_composite(
+            jnp.asarray(pts), jnp.asarray(normals), jnp.asarray(feats),
+            jnp.asarray(kg), point_mask=jnp.asarray(mask), bin_px=128,
+        ))
+    assert out.shape == (64, 8)
