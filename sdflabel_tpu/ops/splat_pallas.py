@@ -116,10 +116,13 @@ def _softmax_kernel(pts_ref, feat_ref, kg_ref, zn_ref, img_ref, m_ref,
                     d_ref, sm_m, sm_d, sm_acc, *, diam, depth_constant):
     c_idx = pl.program_id(1)
     n_chunks = pl.num_programs(1)
-    znorm = zn_ref[0:1, :]  # (1, PB)
+    # per-pixel reciprocal hoisted out of the (C, PB) interaction math —
+    # one (1, PB) divide instead of a (C, PB) one (VPU divides are the
+    # expensive op in this pass)
+    inv_zn = 1.0 / (zn_ref[0:1, :] + _EPS)  # (1, PB)
 
     z, _, _, fp = _geometry(pts_ref, kg_ref, diam)
-    s = jnp.maximum(-z / (znorm + _EPS) + 1.0, 0.0) * depth_constant
+    s = jnp.maximum(-z * inv_zn + 1.0, 0.0) * depth_constant
     s = jnp.where(fp, s, NEG_BIG)
 
     @pl.when(c_idx == 0)
@@ -149,9 +152,9 @@ def _softmax_kernel(pts_ref, feat_ref, kg_ref, zn_ref, img_ref, m_ref,
         d_ref[:, :] = d
 
 
-def _probs(pts_ref, kg_ref, zn, m, inv_d, diam, depth_constant):
+def _probs(pts_ref, kg_ref, inv_zn, m, inv_d, diam, depth_constant):
     z, nk, guard, fp = _geometry(pts_ref, kg_ref, diam)
-    x = -z / (zn + _EPS) + 1.0
+    x = -z * inv_zn + 1.0
     s = jnp.maximum(x, 0.0) * depth_constant
     w = jnp.where(fp, jnp.exp(s - m), 0.0)
     p = w * inv_d
@@ -166,10 +169,9 @@ def _grads_kernel(pts_ref, feat_ref, kg_ref, gimg_ref, m_ref, d_ref, zn_ref,
     p_idx = pl.program_id(1)
     d = d_ref[0:1, :]
     inv_d = jnp.where(d > 0, 1.0 / jnp.maximum(d, 1e-30), 0.0)
-    znorm = zn_ref[0:1, :]
-    z, nk, guard, x, p = _probs(pts_ref, kg_ref, znorm, m_ref[0:1, :],
+    inv_zn = 1.0 / (zn_ref[0:1, :] + _EPS)
+    z, nk, guard, x, p = _probs(pts_ref, kg_ref, inv_zn, m_ref[0:1, :],
                                 inv_d, diam, depth_constant)
-    gx, gy, gz = kg_ref[0:1, :], kg_ref[1:2, :], kg_ref[2:3, :]
     v0, v1, v2 = pts_ref[:, 0:1], pts_ref[:, 1:2], pts_ref[:, 2:3]
     n0, n1, n2 = pts_ref[:, 3:4], pts_ref[:, 4:5], pts_ref[:, 5:6]
 
@@ -179,14 +181,19 @@ def _grads_kernel(pts_ref, feat_ref, kg_ref, gimg_ref, m_ref, d_ref, zn_ref,
         dn_ref[:, :] = jnp.zeros_like(dn_ref)
         df_ref[:, :] = jnp.zeros_like(df_ref)
 
+    # NOTE: expressing u/df/dn as dot_general MXU contractions was
+    # measured at 0.986x (round 3) — Mosaic relayouts of the (C, PB)
+    # operands cost more than the VPU loop they replace, confirming the
+    # module-docstring layout rule. VPU broadcast loops stay.
+    gx, gy, gz = kg_ref[0:1, :], kg_ref[1:2, :], kg_ref[2:3, :]
     u = jnp.zeros_like(p)
     for f in range(NUM_FEATURES):
         u = u + feat_ref[:, f : f + 1] * gimg_ref[f : f + 1, :]
     ds = p * (u - corr_ref[0:1, :])
     dx = jnp.where(x > 0, ds * depth_constant, 0.0)
-    dz = -dx / (znorm + _EPS)
+    dz = -dx * inv_zn
     dnv = jnp.where(guard, 0.0, dz / nk)  # (C, PB)
-    dnk = jnp.where(guard, 0.0, -dz * z / nk)
+    dnk = jnp.where(guard, 0.0, -dnv * z)  # == -dz*z/nk, one divide saved
     dnv_i = jnp.sum(dnv, axis=1, keepdims=True)  # (C, 1)
 
     for f in range(NUM_FEATURES):
@@ -318,9 +325,9 @@ def _softmax_kernel_binned(sc_ref, nc_ref, pts_ref, feat_ref, kg_ref, zn_ref,
 
     @pl.when(c < nc_ref[b])
     def _():
-        znorm = zn_ref[0:1, :]  # (1, PB)
+        inv_zn = 1.0 / (zn_ref[0:1, :] + _EPS)  # hoisted, see dense kernel
         z, _, _, fp = _geometry(pts_ref, kg_ref, diam)
-        s = jnp.maximum(-z / (znorm + _EPS) + 1.0, 0.0) * depth_constant
+        s = jnp.maximum(-z * inv_zn + 1.0, 0.0) * depth_constant
         s = jnp.where(fp, s, NEG_BIG)
         m_prev = sm_m[0:1, :]
         cmax = jnp.max(s, axis=0, keepdims=True)
@@ -363,21 +370,21 @@ def _grads_kernel_binned(sc_ref, nc_ref, pts_ref, feat_ref, kg_ref, gimg_ref,
     def _():
         d = d_ref[0:1, :]
         inv_d = jnp.where(d > 0, 1.0 / jnp.maximum(d, 1e-30), 0.0)
-        znorm = zn_ref[0:1, :]
-        z, nk, guard, x, p = _probs(pts_ref, kg_ref, znorm, m_ref[0:1, :],
+        inv_zn = 1.0 / (zn_ref[0:1, :] + _EPS)
+        z, nk, guard, x, p = _probs(pts_ref, kg_ref, inv_zn, m_ref[0:1, :],
                                     inv_d, diam, depth_constant)
-        gx, gy, gz = kg_ref[0:1, :], kg_ref[1:2, :], kg_ref[2:3, :]
         v0, v1, v2 = pts_ref[:, 0:1], pts_ref[:, 1:2], pts_ref[:, 2:3]
         n0, n1, n2 = pts_ref[:, 3:4], pts_ref[:, 4:5], pts_ref[:, 5:6]
 
+        gx, gy, gz = kg_ref[0:1, :], kg_ref[1:2, :], kg_ref[2:3, :]
         u = jnp.zeros_like(p)
         for f in range(NUM_FEATURES):
             u = u + feat_ref[:, f : f + 1] * gimg_ref[f : f + 1, :]
         ds = p * (u - corr_ref[0:1, :])
         dx = jnp.where(x > 0, ds * depth_constant, 0.0)
-        dz = -dx / (znorm + _EPS)
+        dz = -dx * inv_zn
         dnv = jnp.where(guard, 0.0, dz / nk)
-        dnk = jnp.where(guard, 0.0, -dz * z / nk)
+        dnk = jnp.where(guard, 0.0, -dnv * z)
         dnv_i = jnp.sum(dnv, axis=1, keepdims=True)
 
         for f in range(NUM_FEATURES):
