@@ -350,3 +350,51 @@ def test_rotated_iou_geometry_matches_reference(ref_det):
     np.testing.assert_allclose(ours_m, ref_m, atol=2e-3)
     overlapping = (ref_m > 0.05).sum()
     assert overlapping >= 32, overlapping  # the jittered half must overlap
+
+
+def test_image_box_overlap_matches_reference(ref_det):
+    """Our vectorized LTRB IoU vs the reference's JIT loop as pure Python
+    (rotate_iou.py:358-379)."""
+    import pipelines.rotate_iou as ref_riou
+
+    rng = np.random.RandomState(11)
+    n, k = 20, 25
+    def ltrb(m):
+        x1 = rng.uniform(0, 1000, m); y1 = rng.uniform(0, 300, m)
+        return np.stack([x1, y1, x1 + rng.uniform(5, 300, m),
+                         y1 + rng.uniform(5, 150, m)], 1)
+    boxes, qboxes = ltrb(n), ltrb(k)
+    for crit in (-1, 0, 1):
+        ref = ref_riou.image_box_overlap(boxes, qboxes, crit)
+        got = ours_riou_image(boxes, qboxes, crit)
+        np.testing.assert_allclose(got, ref, atol=1e-12, err_msg=str(crit))
+
+
+def ours_riou_image(b, q, c):
+    return riou.image_box_overlap(b, q, c)
+
+
+def test_d3_box_overlap_matches_reference(ref_det):
+    """Our vectorized 3D finisher vs the reference's JIT kernel as pure
+    Python (rotate_iou.py:328-355, camera coordinates)."""
+    import pipelines.rotate_iou as ref_riou
+
+    rng = np.random.RandomState(13)
+    n, k = 12, 14
+    def b3d(m):
+        return np.stack([
+            rng.uniform(-20, 20, m), rng.uniform(0.5, 2.5, m),
+            rng.uniform(5, 60, m), rng.uniform(1.4, 2.0, m),
+            rng.uniform(1.2, 1.8, m), rng.uniform(3.0, 5.0, m),
+            rng.uniform(-np.pi, np.pi, m),
+        ], 1)
+    boxes, qboxes = b3d(n), b3d(k)
+    # make some pairs genuinely overlap
+    qboxes[:n//2] = boxes[:n//2] + rng.uniform(-0.3, 0.3, (n//2, 7))
+    rinc = riou.rotate_iou(boxes[:, [0, 2, 3, 5, 6]],
+                           qboxes[:, [0, 2, 3, 5, 6]], 2).astype(np.float64)
+    ours_m = riou.d3_box_overlap(boxes, qboxes, rinc, -1, True)
+    ref_m = rinc.copy()
+    ref_riou.d3_box_overlap_kernel(boxes, qboxes, ref_m, -1, True)
+    np.testing.assert_allclose(ours_m, ref_m, atol=1e-9)
+    assert (ref_m > 0.2).sum() >= n // 2  # overlapping pairs exercised
