@@ -261,3 +261,27 @@ def test_latest_checkpoint_ignores_orbax_tmp_and_absolutizes(tmp_path,
     latest = ck.latest_checkpoint("ckpt")  # relative input (valid CLI)
     assert os.path.isabs(latest)
     assert os.path.basename(latest) == "step_00000003"
+
+
+def test_fast_preset_config():
+    """configs/config_refine_fast.ini — the measured-fastest production
+    preset (BENCH_NOTES) — parses and lands its acceleration knobs:
+    identical to the stock refine config except warm-band selection
+    (pool == driver capacity, refresh 10) on top of the TPU defaults."""
+    fast = configparser.ConfigParser()
+    assert fast.read("/root/repo/configs/config_refine_fast.ini")
+    cfg = cfg_mod.RefineCfg.from_ini(fast)
+    assert cfg.warm_band == 8192
+    assert cfg.warm_refresh == 10
+    assert cfg.select_pallas is True
+    assert cfg.stage2_pallas is False
+    assert cfg.coarse_cells == 0
+    assert cfg.viz_type == "none"  # throughput preset renders nothing
+    # everything else the reference specifies stays at reference values
+    stock = configparser.ConfigParser()
+    assert stock.read("/root/repo/configs/config_refine.ini")
+    ref_cfg = cfg_mod.RefineCfg.from_ini(stock)
+    assert dataclasses.replace(
+        cfg, warm_band=ref_cfg.warm_band, warm_refresh=ref_cfg.warm_refresh,
+        viz_type=ref_cfg.viz_type,
+    ) == ref_cfg
