@@ -274,7 +274,10 @@ def _compute_bins(pts, kg_t, diam, block_px, chunk):
     first = jnp.argmax(ov, axis=1).astype(jnp.int32)
     last = (n_blocks - 1) - jnp.argmax(ov[:, ::-1], axis=1).astype(jnp.int32)
     span = jnp.where(any_ov, last - first, 0)
-    key = jnp.where(any_ov, first, 0)
+    # no-overlap points (masked / padded / out of frame) sort PAST every
+    # window (keys run up to b == n_blocks - 1), so no kernel ever visits
+    # them — with capacity padding they can be thousands of dead slots
+    key = jnp.where(any_ov, first, n_blocks)
 
     order = jnp.argsort(key).astype(jnp.int32)
     key_sorted = jnp.take(key, order)
