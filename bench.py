@@ -180,9 +180,12 @@ def bench_ours():
     return iters_per_sec * CROP * CROP, iters_per_sec
 
 
-def bench_variants():
+def bench_variants(flops_iter=None, s1_flops=None):
     """rays/s of the selection-acceleration variants (BENCH_NOTES tables,
-    captured as structured artifacts per VERDICT r2 weak #3)."""
+    captured as structured artifacts per VERDICT r2 weak #3), each with
+    its OWN roofline: the warm variant amortizes the stage-1 decode
+    (FLOPs and HBM bytes) over the refresh interval, the xla variant
+    pays the non-fused stage-1 HBM traffic."""
     out = []
     for name, kw in (
         ("xla_select", dict(select="xla")),
@@ -192,9 +195,27 @@ def bench_variants():
         try:
             print(f"# variant {name}...", file=sys.stderr, flush=True)
             dt = _timed(build_refine(**kw))
-            out.append({"name": name,
-                        "rays_per_s": round(SCAN_ITERS * CROP * CROP / dt, 1),
-                        "iters_per_s": round(SCAN_ITERS / dt, 2)})
+            row = {"name": name,
+                   "rays_per_s": round(SCAN_ITERS * CROP * CROP / dt, 1),
+                   "iters_per_s": round(SCAN_ITERS / dt, 2)}
+            if flops_iter:
+                if name.startswith("warm_band") and s1_flops:
+                    r = WARM_REFRESH
+                    fv = flops_iter - s1_flops * (r - 1) / r
+                    s1b, s2b = analytic_hbm_parts(pallas_stage1=True)
+                    bv = (s1b + r * s2b) / r
+                elif name == "xla_select":
+                    fv = flops_iter
+                    bv = analytic_hbm_bytes_per_iteration(False)
+                else:
+                    fv = bv = None
+                if fv and bv:
+                    bound_s = max(fv / (V5E_BF16_PEAK_TFLOPS * 1e12),
+                                  bv / (V5E_HBM_GBPS * 1e9))
+                    row["flops_per_iter"] = round(fv, 1)
+                    row["pct_roofline"] = round(
+                        100.0 * bound_s * row["iters_per_s"], 1)
+            out.append(row)
         except Exception as e:  # pragma: no cover - defensive
             print(f"# variant {name} failed: {type(e).__name__}: {e}",
                   file=sys.stderr)
@@ -317,6 +338,31 @@ def flops_per_iteration():
     return float(ca["flops"])
 
 
+def stage1_flops():
+    """Exact FLOPs of the stage-1 full-grid decode alone (cost analysis
+    of the bare decoder over the 64k grid) — used to amortize the
+    warm-band variant's per-iteration FLOPs (refresh iterations pay it,
+    warm iterations skip it; BENCH_NOTES "Warm-started band selection")."""
+    import jax
+    import jax.numpy as jnp
+
+    from sdflabel_tpu.models import deepsdf
+    from sdflabel_tpu.ops import grid as grid_ops
+
+    cfg = deepsdf.DeepSDFConfig(
+        latent_size=LATENT, dims=(DIMS,) * LAYERS,
+        norm_layers=tuple(range(LAYERS)), latent_in=(LAYERS // 2,),
+        weight_norm=True,
+    )
+    params = deepsdf.init_params(cfg, jax.random.PRNGKey(0))
+    decoder = deepsdf.sdf_fn(cfg, params)
+    grid_pts = jnp.asarray(grid_ops.generate_point_grid(GRID_DENSITY))
+    fn = jax.jit(lambda lat: decoder(lat, grid_pts))
+    ca = fn.lower(jnp.zeros((LATENT,), jnp.float32)).compile().cost_analysis()
+    ca = ca[0] if isinstance(ca, list) else ca
+    return float(ca["flops"])
+
+
 def analytic_hbm_bytes_per_iteration(pallas_stage1: bool = False):
     """HBM traffic model of one refinement iteration (fp32 path).
 
@@ -357,6 +403,18 @@ def analytic_hbm_bytes_per_iteration(pallas_stage1: bool = False):
     return float(s1 + s2)
 
 
+def analytic_hbm_parts(pallas_stage1: bool = True):
+    """(stage-1 bytes, rest-of-iteration bytes) of the HBM model above —
+    the warm-band variant amortizes stage 1 over its refresh interval."""
+    total = analytic_hbm_bytes_per_iteration(pallas_stage1)
+    # reconstruct s2 with the same constants
+    B, BA = 4, 2
+    n2, H, nb = CAPACITY, DIMS, LAYERS - 1
+    w_bytes = LAYERS * H * H * B
+    s2 = 3.0 * (2 * n2 * H * BA * nb + w_bytes)
+    return total - s2, s2
+
+
 def flops_per_iteration_subprocess(timeout=420):
     """Run flops_per_iteration in a CPU-forced child process (this process
     holds the axon TPU backend and cannot switch platforms)."""
@@ -365,14 +423,16 @@ def flops_per_iteration_subprocess(timeout=420):
     code = (
         "import jax; jax.config.update('jax_platforms','cpu');"
         "import sys; sys.path.insert(0, %r);"
-        "import bench; print('FLOPS', bench.flops_per_iteration())"
+        "import bench;"
+        "print('FLOPS', bench.flops_per_iteration(), bench.stage1_flops())"
         % REPO
     )
     out = subprocess.run([sys.executable, "-c", code], capture_output=True,
                          text=True, timeout=timeout)
     for line in out.stdout.splitlines():
         if line.startswith("FLOPS "):
-            return float(line.split()[1])
+            parts = line.split()
+            return float(parts[1]), float(parts[2])
     raise RuntimeError(out.stderr[-500:])
 
 
@@ -505,11 +565,11 @@ def main():
                 f"flops/roofline accounting skipped for variant {variant}")
         print("# computing XLA cost analysis (CPU lowering)...",
               file=sys.stderr, flush=True)
-        flops_iter = flops_per_iteration_subprocess()
+        flops_iter, s1_flops = flops_per_iteration_subprocess()
     except Exception as e:  # never fail the bench on accounting
         print(f"# cost analysis failed: {type(e).__name__}: {e}",
               file=sys.stderr)
-        flops_iter = None
+        flops_iter = s1_flops = None
     import jax as _jax
 
     pallas_default = SELECT_PALLAS and _jax.default_backend() == "tpu"
@@ -537,7 +597,7 @@ def main():
 
     extras = {}
     if not SKIP_EXTRAS and variant is None:
-        extras["variants"] = bench_variants()
+        extras["variants"] = bench_variants(flops_iter, s1_flops)
         extras["crops_per_hour"] = bench_crops_per_hour()
         try:
             extras["css_train"] = bench_css_train()
