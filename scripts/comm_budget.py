@@ -91,7 +91,7 @@ def collect(hlo_text: str) -> tuple[dict, dict]:
     op_re = re.compile(r"(?:ROOT )?\S+ = (.+?) ([\w-]+)\(")
     callee_re = re.compile(
         r"(?:to_apply|body|condition|branch_computations|called_computations"
-        r")=\{?%?([\w.\-]+(?:, *%?[\w.\-]+)*)\}?")
+        r"|calls)=\{?%?([\w.\-]+(?:, *%?[\w.\-]+)*)\}?")
 
     for raw in hlo_text.splitlines():
         s = raw.strip()
