@@ -55,7 +55,12 @@ def nearest_neighbor(
     if jax.default_backend() == "tpu" and query.shape[-1] == 3:
         from sdflabel_tpu.ops import nn_pallas
 
-        return nn_pallas.nearest_neighbor_fused(query, data, data_mask)
+        dist, idx = nn_pallas.nearest_neighbor_fused(query, data, data_mask)
+        # keep the public contract identical to the jnp path: the kernel's
+        # fully-masked sentinel is sqrt(1e30) ~ 1e15 — map it back to inf
+        # (in-repo callers only threshold-compare, but external callers may
+        # isfinite the result)
+        return jnp.where(dist >= 1e14, jnp.inf, dist), idx
     d2 = sum(
         jnp.square(query[:, None, c] - data[None, :, c])
         for c in range(3)

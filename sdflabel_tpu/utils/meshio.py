@@ -21,11 +21,15 @@ def load_obj(path: str):
       * `v x y z [r g b]` — the common per-vertex-color extension; colors
         default to mid-gray when absent (the reference demo only needs
         *some* per-vertex color to splat, main.py:30-33);
-      * `vn nx ny nz` used when the count matches the vertex count;
-        otherwise normals are computed area-weighted from `f` rows
-        (fan-triangulated, indices 1-based, `v/vt/vn` forms accepted).
+      * `vn nx ny nz` resolved through the face rows' `v//vn` index
+        mapping (shared/reordered normals land on the right vertices);
+        positional vertex/vn pairing only when no face carries a vn
+        index and the counts match; otherwise normals are computed
+        area-weighted from `f` rows (fan-triangulated, indices 1-based,
+        `v/vt/vn` forms accepted).
     """
     verts, vns, colors, faces = [], [], [], []
+    vn_pairs = []  # (vertex index, vn index) from face corners
     with open(path) as f:
         for line in f:
             parts = line.split()
@@ -38,8 +42,16 @@ def load_obj(path: str):
             elif parts[0] == "vn":
                 vns.append([float(x) for x in parts[1:4]])
             elif parts[0] == "f":
-                idx = [int(tok.split("/")[0]) for tok in parts[1:]]
-                idx = [i - 1 if i > 0 else len(verts) + i for i in idx]
+                idx = []
+                for tok in parts[1:]:
+                    fields = tok.split("/")
+                    i = int(fields[0])
+                    i = i - 1 if i > 0 else len(verts) + i
+                    idx.append(i)
+                    if len(fields) >= 3 and fields[2]:
+                        j = int(fields[2])
+                        vn_pairs.append((i, j - 1 if j > 0
+                                         else len(vns) + j))
                 for k in range(1, len(idx) - 1):  # fan triangulation
                     faces.append((idx[0], idx[k], idx[k + 1]))
 
@@ -47,7 +59,16 @@ def load_obj(path: str):
     if len(v) == 0:
         raise ValueError(f"{path}: no vertices")
 
-    if len(vns) == len(v) and len(v) > 0:
+    if vn_pairs and vns:
+        # accumulate each referenced vn onto its vertex (per-vertex
+        # normals: all corners agree; shared normals: averaged)
+        vn_arr = np.asarray(vns, np.float64)
+        n = np.zeros_like(v)
+        pairs = np.asarray(vn_pairs, np.int64)
+        ok = (pairs[:, 1] >= 0) & (pairs[:, 1] < len(vn_arr))
+        pairs = pairs[ok]
+        np.add.at(n, pairs[:, 0], vn_arr[pairs[:, 1]])
+    elif len(vns) == len(v) and len(v) > 0:
         n = np.asarray(vns, np.float64)
     elif faces:
         n = np.zeros_like(v)

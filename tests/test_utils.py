@@ -4,6 +4,7 @@ import configparser
 import dataclasses
 import json
 import math
+import os
 
 import numpy as np
 import jax
@@ -13,6 +14,8 @@ import pytest
 from sdflabel_tpu import config as cfg_mod
 from sdflabel_tpu.ops import geometry
 from sdflabel_tpu.utils import profiling, viz
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def test_hpr_mask_visibility():
@@ -151,13 +154,13 @@ def test_stock_configs_match_reference_semantics():
     extension knobs in ours sit at their reference-equivalent defaults,
     except the deterministic seed which has no reference analogue)."""
     ours = configparser.ConfigParser()
-    assert ours.read("/root/repo/configs/config_refine.ini")
+    assert ours.read(os.path.join(REPO, "configs", "config_refine.ini"))
     ref = configparser.ConfigParser()
     assert ref.read("/root/reference/configs/config_refine.ini")
     assert cfg_mod.RefineCfg.from_ini(ours) == cfg_mod.RefineCfg.from_ini(ref)
 
     ours_t = configparser.ConfigParser()
-    assert ours_t.read("/root/repo/configs/config_train.ini")
+    assert ours_t.read(os.path.join(REPO, "configs", "config_train.ini"))
     ref_t = configparser.ConfigParser()
     assert ref_t.read("/root/reference/configs/config_train.ini")
     a, b = cfg_mod.TrainCfg.from_ini(ours_t), cfg_mod.TrainCfg.from_ini(ref_t)
@@ -269,7 +272,7 @@ def test_fast_preset_config():
     identical to the stock refine config except warm-band selection
     (pool == driver capacity, refresh 10) on top of the TPU defaults."""
     fast = configparser.ConfigParser()
-    assert fast.read("/root/repo/configs/config_refine_fast.ini")
+    assert fast.read(os.path.join(REPO, "configs", "config_refine_fast.ini"))
     cfg = cfg_mod.RefineCfg.from_ini(fast)
     assert cfg.warm_band == 8192
     assert cfg.warm_refresh == 10
@@ -279,7 +282,7 @@ def test_fast_preset_config():
     assert cfg.viz_type == "none"  # throughput preset renders nothing
     # everything else the reference specifies stays at reference values
     stock = configparser.ConfigParser()
-    assert stock.read("/root/repo/configs/config_refine.ini")
+    assert stock.read(os.path.join(REPO, "configs", "config_refine.ini"))
     ref_cfg = cfg_mod.RefineCfg.from_ini(stock)
     assert dataclasses.replace(
         cfg, warm_band=ref_cfg.warm_band, warm_refresh=ref_cfg.warm_refresh,
