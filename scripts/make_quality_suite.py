@@ -1,0 +1,484 @@
+"""Generate the autolabel-QUALITY benchmark suite (multi-frame synthetic KITTI).
+
+The reference's entire point is label quality: `refine_css` evaluates its
+own autolabels in-process (reference pipelines/refine_css.py:252-263) and
+the paper's claim is KITTI mAP. This script generalizes the single-frame
+demo machinery (scripts/make_demo_assets.py) into an N-frame, multi-object,
+multi-shape scene suite written in REAL KITTI on-disk format (image_2 PNG /
+velodyne .bin / calib / label_2 txt / mv3d split — the exact files
+data.kitti.KITTI3D parses), so the FULL `--refine` driver runs on it
+verbatim and its in-process KITTI+nuScenes mAP becomes a measurable,
+variant-comparable quality number (scripts/run_quality_benchmark.py).
+
+What it makes:
+  1. a DeepSDF decoder fitted to FOUR car-proportioned rounded-box shapes,
+     one per unit-sphere anchor latent (the latent head has a real job);
+  2. N frames, 1-3 cars each at random yaw / scale / position on a ground
+     plane, disjoint 2D boxes, NOCS-textured appearance, LIDAR = visible
+     car surfaces + ground + clutter, GT labels computed with the SAME
+     code the pipeline uses (engine.labels.get_kitti_label) so a perfect
+     refinement reproduces them exactly;
+  3. a width-16 CSSNet trained on jittered crops re-read from the WRITTEN
+     PNGs (so training distribution == driver input distribution).
+
+Nets are committed (data/quality_nets/); the frame tree is deterministic
+from SEED and regenerated on demand (data/quality_suite/, gitignored).
+
+Run from the repo root:  python scripts/make_quality_suite.py
+  --frames N (default 60)   --css-steps N (default 4000)
+  --skip-css / --skip-fit   reuse committed nets, only rebuild frames
+"""
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from sdflabel_tpu.engine import labels as labels_mod
+from sdflabel_tpu.engine import refine as refine_mod
+from sdflabel_tpu.models import css as css_mod
+from sdflabel_tpu.models import deepsdf
+from sdflabel_tpu.ops import grid as grid_ops
+from sdflabel_tpu.renderer import rasterer as rast_mod
+
+SEED = 11
+TREE = "data/quality_suite"
+NETS = "data/quality_nets"
+
+IMG_H, IMG_W = 256, 832
+FOCAL, CX, CY = 460.0, 416.0, 128.0
+GROUND_Y = 1.65  # camera height above road (camera y points down)
+CAPACITY = 8192
+
+# Four shape anchors: unit-sphere latent -> model-frame half extents
+# (w, h, l)/2/scale. Distinct proportions give the CSS latent head and the
+# evaluator's dimension-sensitive 3D IoU a real signal.
+SHAPES = [
+    (np.array([1.0, 0.0, 0.0], np.float32),
+     np.array([0.40, 0.375, 0.975])),  # the demo car
+    (np.array([0.0, 1.0, 0.0], np.float32),
+     np.array([0.45, 0.330, 0.900])),  # wide / low
+    (np.array([0.0, 0.0, 1.0], np.float32),
+     np.array([0.36, 0.420, 0.950])),  # tall / narrow
+    (np.array([1.0, 1.0, 1.0], np.float32) / np.sqrt(3.0),
+     np.array([0.42, 0.360, 1.040])),  # long
+]
+
+# KITTI's real velodyne->camera axis permutation (velo x fwd, y left, z up
+# -> cam x right, y down, z fwd); the suite stores scans in velodyne frame
+# so the loader's Tr transform is exercised.
+VELO_TO_CAM = np.array([[0.0, -1.0, 0.0, 0.0],
+                        [0.0, 0.0, -1.0, 0.0],
+                        [1.0, 0.0, 0.0, 0.0]])
+
+
+def box_sdf(pts, half, radius=0.06):
+    q = jnp.abs(pts) - (jnp.asarray(half) - radius)
+    outside = jnp.linalg.norm(jnp.maximum(q, 0.0), axis=-1)
+    inside = jnp.minimum(jnp.max(q, axis=-1), 0.0)
+    return outside + inside - radius
+
+
+def fit_deepsdf(steps=3500):
+    """Fit one decoder to all four (latent, half) anchor pairs."""
+    cfg = deepsdf.DeepSDFConfig(latent_size=3, dims=(96, 96, 96))
+    params = deepsdf.init_params(cfg, jax.random.PRNGKey(SEED))
+    fn = lambda p, lat, x: deepsdf.sdf_fn(cfg, p)(lat, x)
+    opt = optax.adam(1e-3)
+    opt_state = opt.init(params)
+    lats = jnp.asarray(np.stack([s[0] for s in SHAPES]))
+    halves = jnp.asarray(np.stack([s[1] for s in SHAPES]))
+
+    @jax.jit
+    def step(params, opt_state, key):
+        k1, k2, k3 = jax.random.split(key, 3)
+        shape_idx = jax.random.randint(k3, (), 0, len(SHAPES))
+        lat, half = lats[shape_idx], halves[shape_idx]
+        pu = jax.random.uniform(k1, (4096, 3), minval=-1.05, maxval=1.05)
+        ps = pu * (half / jnp.max(half))  # densify near the box surface
+        pts = jnp.concatenate([pu, ps + 0.05 * jax.random.normal(k2, ps.shape)])
+        target = jnp.clip(box_sdf(pts, half), -0.1, 0.1)
+
+        def loss_fn(p):
+            pred = jnp.clip(fn(p, lat, pts), -0.1, 0.1)
+            return jnp.mean(jnp.abs(pred - target))
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = opt.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    key = jax.random.PRNGKey(SEED + 1)
+    for i in range(steps):
+        key, sub = jax.random.split(key)
+        params, opt_state, loss = step(params, opt_state, sub)
+        if i % 500 == 0:
+            print(f"  deepsdf fit step {i}: L1 {float(loss):.5f}",
+                  flush=True)
+    print(f"  deepsdf fit final: L1 {float(loss):.5f}", flush=True)
+    return cfg, params
+
+
+CANVAS = 320  # fixed render canvas: one compiled program for every crop
+# (each crop's true (ch, cw) window is the canvas' top-left slice; the
+# per-crop intrinsics offset maps the crop origin there. At the suite's
+# closest placement (z = 8, scale 2.1) the widest projected car spans
+# ~295 px incl. padding, under the 320 bound.)
+
+
+def make_render_fns(decoder):
+    """Jitted fixed-shape surface + render programs (a variable-shape
+    render would recompile per crop size — minutes each over the tunneled
+    TPU backend)."""
+    grid_pts = grid_ops.generate_point_grid(40)
+
+    surface_fn = jax.jit(lambda lat: grid_ops.surface_from_decoder(
+        decoder, lat, grid_pts, capacity=CAPACITY))
+
+    def _render(K, pts, normals, pmask, pose):
+        return rast_mod.render(
+            K, (CANVAS, CANVAS), pts, normals, normals, pose,
+            point_mask=pmask, rot="dcm", primitives="disc",
+            output_nocs=True)
+
+    return surface_fn, jax.jit(_render)
+
+
+def render_car(render_fns, latent, yaw, scale, trans_cam, pad=6):
+    """Render one car's NOCS appearance; returns crop box, NOCS image,
+    mask, and camera-frame visible surface points (make_demo_assets'
+    render_gt generalized to arbitrary pose/shape)."""
+    surface_fn, render_fn = render_fns
+    surf, _ = surface_fn(jnp.asarray(latent))
+
+    pose = refine_mod.build_render_pose(
+        jnp.asarray([yaw], jnp.float32),
+        jnp.asarray(np.asarray(trans_cam) / scale, jnp.float32))
+
+    rot = np.asarray(pose[:3, :3])
+    t = np.asarray(pose[:3, 3])
+    model_pts = np.asarray(surf.points)[np.asarray(surf.mask)]
+    cam_pts = (rot @ model_pts.T).T + t
+    u = cam_pts[:, 0] / cam_pts[:, 2] * FOCAL + CX
+    v = cam_pts[:, 1] / cam_pts[:, 2] * FOCAL + CY
+    l = max(int(u.min()) - pad, 0)
+    r = min(int(u.max()) + pad, IMG_W - 1)
+    t_ = max(int(v.min()) - pad, 0)
+    b = min(int(v.max()) + pad, IMG_H - 1)
+    ch, cw = b - t_, r - l
+    if ch < 8 or cw < 8 or ch > CANVAS or cw > CANVAS:
+        return None
+
+    K_crop = jnp.asarray(
+        [[FOCAL, 0, CX - l], [0, FOCAL, CY - t_], [0, 0, 1]], jnp.float32)
+    rendering, points = render_fn(K_crop, surf.points, surf.normals,
+                                  surf.mask, pose)
+    nocs = np.asarray(rendering.color)[:, :ch, :cw]
+    mask = np.asarray(rendering.mask)[0, :ch, :cw] > 0.5
+    vis_cam = np.asarray(points.xyz)[np.asarray(points.front_mask)] * scale
+    return (l, t_, r, b), nocs, mask, vis_cam
+
+
+def sample_objects(rng, n_obj):
+    """Random car placements with disjoint projected boxes (coarse check
+    on conservative projected extents; the exact render box is re-checked
+    by the caller)."""
+    objs = []
+    boxes = []
+    tries = 0
+    while len(objs) < n_obj and tries < 200:
+        tries += 1
+        shape_idx = rng.randint(len(SHAPES))
+        latent, half = SHAPES[shape_idx]
+        scale = rng.uniform(1.9, 2.1)
+        yaw = rng.uniform(-np.pi, np.pi)
+        z = rng.uniform(8.0, 13.5)
+        x = rng.uniform(-0.55, 0.55) * z
+        y = GROUND_Y - half[1] * scale  # bottom on the ground plane
+        # conservative projected box from the bounding sphere
+        rad = float(np.linalg.norm(half)) * scale
+        u0, v0 = FOCAL * x / z + CX, FOCAL * y / z + CY
+        du, dv = FOCAL * rad / z, FOCAL * rad / z
+        box = (u0 - du, v0 - dv, u0 + du, v0 + dv)
+        if box[0] < 4 or box[2] > IMG_W - 4 or box[1] < 4 \
+                or box[3] > IMG_H - 4:
+            continue
+        if any(not (box[2] + 8 < b[0] or b[2] + 8 < box[0]
+                    or box[3] + 8 < b[1] or b[3] + 8 < box[1])
+               for b in boxes):
+            continue
+        boxes.append(box)
+        objs.append({"shape_idx": shape_idx, "latent": latent,
+                     "half": half, "scale": scale, "yaw": yaw,
+                     "trans": np.array([x, y, z])})
+    return objs
+
+
+def build_frame(decoder, render_fns, rng, frame_idx):
+    """One multi-object scene; returns (sample pieces, per-object annos,
+    full-frame NOCS/mask for CSS training)."""
+    n_obj = rng.randint(1, 4)
+    objs = sample_objects(rng, n_obj)
+    if not objs:
+        return None
+
+    image = rng.uniform(0.25, 0.45, (IMG_H, IMG_W, 3)).astype(np.float32)
+    full_nocs = np.zeros((3, IMG_H, IMG_W), np.float32)
+    full_mask = np.zeros((IMG_H, IMG_W), bool)
+    lidar_parts = []
+    annos = []
+    grid_pts = grid_ops.generate_point_grid(40)
+
+    # paste far-to-near so nearer cars overwrite (boxes are disjoint, but
+    # keep the order principled anyway)
+    for obj in sorted(objs, key=lambda o: -o["trans"][2]):
+        r = render_car(render_fns, obj["latent"], obj["yaw"], obj["scale"],
+                       obj["trans"])
+        if r is None:
+            continue
+        crop_box, nocs, mask, vis_cam = r
+        l, t_, rr, b = crop_box
+        rgb = np.transpose(nocs, (1, 2, 0))
+        image[t_:b, l:rr][mask] = rgb[..., ::-1][mask]  # store as BGR
+        full_nocs[:, t_:b, l:rr][:, mask] = np.transpose(
+            rgb[mask], (1, 0))
+        full_mask[t_:b, l:rr] |= mask
+
+        n_vis = len(vis_cam)
+        keep = rng.permutation(n_vis)[: min(n_vis, 3500)]
+        lidar_parts.append(vis_cam[keep] + rng.randn(len(keep), 3) * 0.008)
+
+        label, _scaled, _cam_t = labels_mod.get_kitti_label(
+            decoder, grid_pts, obj["latent"], np.array([obj["scale"]]),
+            obj["trans"] / obj["scale"], np.array([obj["yaw"]]),
+            np.eye(4), np.asarray(crop_box), capacity=CAPACITY)
+        if label is None:
+            continue
+        annos.append({
+            "bbox": crop_box,
+            "location": [float(v) for v in label["location"]],
+            "dimensions": [float(v) for v in label["dimensions"]],
+            "rotation_y": float(label["rotation_y"]),
+            "alpha": float(label["alpha"]),
+            "latent": obj["latent"],
+        })
+
+    if not annos:
+        return None
+
+    ground = np.stack([
+        rng.uniform(-12, 12, 8000),
+        np.full(8000, GROUND_Y) + rng.randn(8000) * 0.01,
+        rng.uniform(4.0, 24.0, 8000),
+    ], 1)
+    clutter = np.stack([
+        rng.uniform(-12, 12, 2000),
+        rng.uniform(-1.2, GROUND_Y, 2000),
+        rng.uniform(18.0, 26.0, 2000),
+    ], 1)
+    lidar_cam = np.concatenate(lidar_parts + [ground, clutter])
+    return image, lidar_cam.astype(np.float32), annos, full_nocs, full_mask
+
+
+def write_kitti_frame(root, name, image, lidar_cam, annos):
+    """Write one frame in the real KITTI layout the loader parses."""
+    import cv2
+
+    training = os.path.join(root, "training")
+    cv2.imwrite(os.path.join(training, "image_2", f"{name}.png"),
+                (np.clip(image, 0, 1) * 255).astype(np.uint8))
+
+    # camera -> velodyne: invert the axis permutation; intensity random-ish
+    r_inv = np.linalg.inv(VELO_TO_CAM[:3, :3])
+    velo = np.zeros((len(lidar_cam), 4), np.float32)
+    velo[:, :3] = (r_inv @ (lidar_cam - VELO_TO_CAM[:3, 3]).T).T
+    velo[:, 3] = 0.5
+    velo.tofile(os.path.join(training, "velodyne", f"{name}.bin"))
+
+    p2 = np.zeros((3, 4))
+    p2[:3, :3] = [[FOCAL, 0, CX], [0, FOCAL, CY], [0, 0, 1]]
+    calib_lines = [
+        "P0: " + " ".join(["0"] * 12),
+        "P1: " + " ".join(["0"] * 12),
+        "P2: " + " ".join(f"{v:.12e}" for v in p2.reshape(-1)),
+        "P3: " + " ".join(["0"] * 12),
+        "R0_rect: " + " ".join(f"{v:.12e}" for v in np.eye(3).reshape(-1)),
+        "Tr_velo_to_cam: " + " ".join(
+            f"{v:.12e}" for v in VELO_TO_CAM.reshape(-1)),
+        "Tr_imu_to_velo: " + " ".join(["0"] * 12),
+    ]
+    with open(os.path.join(training, "calib", f"{name}.txt"), "w") as f:
+        f.write("\n".join(calib_lines) + "\n")
+
+    rows = []
+    for a in annos:
+        l, t_, r, b = a["bbox"]
+        h, w, ln = a["dimensions"]
+        x, y, z = a["location"]
+        rows.append(
+            f"Car 0.00 0 {a['alpha']:.4f} {l:.2f} {t_:.2f} {r:.2f} {b:.2f} "
+            f"{h:.4f} {w:.4f} {ln:.4f} {x:.4f} {y:.4f} {z:.4f} "
+            f"{a['rotation_y']:.4f}")
+    with open(os.path.join(training, "label_2", f"{name}.txt"), "w") as f:
+        f.write("\n".join(rows) + "\n")
+
+
+def train_css(frames_meta, width=16, steps=4000, batch=8, jitter=3):
+    """Train the suite CSSNet on jittered crops re-read from the written
+    PNGs (training distribution == the driver's cv2-loaded inputs)."""
+    import cv2
+
+    from sdflabel_tpu.pipelines.refine_css import transform_bgr_crop
+
+    # preload written images (float BGR /255, exactly as KITTI3D loads)
+    cache = {}
+    for name, _annos, _nocs, _mask in frames_meta:
+        img = cv2.imread(
+            os.path.join(TREE, "training", "image_2", f"{name}.png"), -1)
+        cache[name] = img.astype(np.float32) / 255.0
+
+    rng = np.random.RandomState(SEED + 3)
+    flat = [(name, a, nocs, mask)
+            for name, annos, nocs, mask in frames_meta for a in annos]
+
+    def sample_crop():
+        name, anno, full_nocs, full_mask = flat[rng.randint(len(flat))]
+        image = cache[name]
+        l, t_, r, b = anno["bbox"]
+        jl = np.clip(l + rng.randint(-jitter, jitter + 1), 0, IMG_W - 2)
+        jt = np.clip(t_ + rng.randint(-jitter, jitter + 1), 0, IMG_H - 2)
+        jr = np.clip(r + rng.randint(-jitter, jitter + 1), jl + 2, IMG_W - 1)
+        jb = np.clip(b + rng.randint(-jitter, jitter + 1), jt + 2, IMG_H - 1)
+        crop_bgr = image[jt:jb, jl:jr].copy()
+        crop_rgb, _ = transform_bgr_crop(crop_bgr)
+        ch, cw = jb - jt, jr - jl
+        ys = (np.arange(128) * ch // 128).clip(max=ch - 1)
+        xs = (np.arange(128) * cw // 128).clip(max=cw - 1)
+        nocs128 = full_nocs[:, jt + ys[:, None], jl + xs[None, :]]
+        mask128 = full_mask[jt + ys[:, None], jl + xs[None, :]]
+        bins = np.clip(np.round(nocs128 * 255), 0, 255).astype(np.int32)
+        bins = bins * mask128[None].astype(np.int32)
+        return crop_rgb, bins, mask128.astype(np.int32), anno["latent"]
+
+    model = css_mod.CSSNet(use_running_average=False, width=width)
+    variables = model.init(jax.random.PRNGKey(SEED),
+                           jnp.zeros((batch, 3, 128, 128)))
+    params, batch_stats = variables["params"], variables["batch_stats"]
+    opt = optax.adam(1e-3)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step(params, batch_stats, opt_state, x, tb, tm, tlat):
+        def loss_fn(p):
+            out, mut = model.apply(
+                {"params": p, "batch_stats": batch_stats}, x,
+                mutable=["batch_stats"])
+            nll = 0.0
+            for i, kk in enumerate(("u", "v", "w")):
+                logp = out[kk]  # (B,256,128,128) log-softmax
+                nll += -jnp.mean(
+                    jnp.take_along_axis(logp, tb[:, i][:, None], axis=1))
+            mlogp = jax.nn.log_softmax(out["mask"], axis=1)
+            nll += -jnp.mean(
+                jnp.take_along_axis(mlogp, tm[:, None], axis=1))
+            nll += 10.0 * jnp.mean(jnp.square(out["latent"] - tlat))
+            return nll, mut["batch_stats"]
+
+        (loss, new_bs), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        updates, new_opt = opt.update(grads, opt_state)
+        return optax.apply_updates(params, updates), new_bs, new_opt, loss
+
+    for i in range(steps):
+        xs, tbs, tms, tls = zip(*(sample_crop() for _ in range(batch)))
+        params, batch_stats, opt_state, loss = step(
+            params, batch_stats, opt_state,
+            jnp.asarray(np.stack(xs)), jnp.asarray(np.stack(tbs)),
+            jnp.asarray(np.stack(tms)), jnp.asarray(np.stack(tls)))
+        if i % 250 == 0:
+            print(f"  css train step {i}: loss {float(loss):.4f}",
+                  flush=True)
+    print(f"  css train final: loss {float(loss):.4f}", flush=True)
+    return {"params": params, "batch_stats": batch_stats}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=60)
+    ap.add_argument("--css-steps", type=int, default=4000)
+    ap.add_argument("--fit-steps", type=int, default=3500)
+    ap.add_argument("--css-width", type=int, default=16)
+    ap.add_argument("--skip-fit", action="store_true",
+                    help="reuse committed deepsdf_quality.pt")
+    ap.add_argument("--skip-css", action="store_true",
+                    help="reuse committed css_quality.msgpack")
+    args = ap.parse_args()
+
+    os.makedirs(NETS, exist_ok=True)
+    training = os.path.join(TREE, "training")
+    for sub in ("image_2", "label_2", "calib", "velodyne"):
+        os.makedirs(os.path.join(training, sub), exist_ok=True)
+    os.makedirs(os.path.join(TREE, "mv3d_kitti_split"), exist_ok=True)
+
+    dsdf_base = os.path.join(NETS, "deepsdf_quality")
+    if args.skip_fit and os.path.exists(dsdf_base + ".pt"):
+        print("loading committed DeepSDF ...", flush=True)
+        dcfg, dparams = deepsdf.load_torch_checkpoint(dsdf_base + ".pt")
+    else:
+        print("fitting the 4-shape DeepSDF ...", flush=True)
+        dcfg, dparams = fit_deepsdf(args.fit_steps)
+        deepsdf.save_torch_checkpoint(dsdf_base + ".pt", dcfg, dparams)
+    decoder = deepsdf.sdf_fn(dcfg, dparams)
+
+    print(f"generating {args.frames} frames ...", flush=True)
+    render_fns = make_render_fns(decoder)
+    rng = np.random.RandomState(SEED + 2)
+    frames_meta = []
+    names = []
+    fi = 0
+    while len(names) < args.frames:
+        out = build_frame(decoder, render_fns, rng, fi)
+        fi += 1
+        if out is None:
+            continue
+        image, lidar_cam, annos, full_nocs, full_mask = out
+        name = f"{len(names):06d}"
+        write_kitti_frame(TREE, name, image, lidar_cam, annos)
+        frames_meta.append((name, annos, full_nocs, full_mask))
+        names.append(name)
+        if len(names) % 10 == 0:
+            n_obj = sum(len(m[1]) for m in frames_meta)
+            print(f"  {len(names)} frames, {n_obj} objects", flush=True)
+    with open(os.path.join(TREE, "mv3d_kitti_split", "trainval.txt"),
+              "w") as f:
+        f.write("\n".join(names) + "\n")
+    n_obj = sum(len(m[1]) for m in frames_meta)
+    print(f"suite: {len(names)} frames, {n_obj} objects", flush=True)
+
+    css_path = os.path.join(NETS, "css_quality.msgpack")
+    if not (args.skip_css and os.path.exists(css_path)):
+        print("training the suite CSSNet ...", flush=True)
+        css_vars = train_css(frames_meta, width=args.css_width,
+                             steps=args.css_steps)
+        from sdflabel_tpu.pipelines.train_css import save_checkpoint
+
+        save_checkpoint(css_path, css_vars)
+
+    meta = {"frames": len(names), "objects": n_obj, "seed": SEED,
+            "img_hw": [IMG_H, IMG_W], "css_width": args.css_width,
+            "shapes": [{"latent": s[0].tolist(), "half": s[1].tolist()}
+                       for s in SHAPES]}
+    with open(os.path.join(TREE, "suite_meta.json"), "w") as f:
+        json.dump(meta, f, indent=1)
+    print("suite written to", TREE, "nets to", NETS, flush=True)
+
+
+if __name__ == "__main__":
+    main()

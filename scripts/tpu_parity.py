@@ -20,9 +20,26 @@ oracles):
      (32x32, capacity 4096) -> loss trajectory + final
      {yaw, trans, scale, latent}.
 
+The table is GATED: every row carries an explicit threshold (set at 3-10x
+the round-3 measured values, PARITY.md — enough headroom for fp-reorder
+noise across kernel revisions, tight enough that a systematic numerics
+regression fails the run). The structured verdict is written to
+PARITY_rNN.json (--out) and the process exits nonzero on any failing row,
+so the round driver catches numerics regressions mechanically instead of
+a human re-reading prose (VERDICT r3 weak #3).
+
+Gate design: the fused splat's documented contract allows footprint-
+BOUNDARY pixel flips (test_splat_pallas.py), and a flipped pixel carries
+full-scale color/depth deltas — so image rows gate on (a) the FLIP COUNT
+(mask disagreements) and (b) the error distribution INSIDE the agreeing
+footprint (p99.9), never on raw max|Δ|. Scalar/trajectory rows gate on
+absolute or relative drift directly.
+
 Usage:
-  python scripts/tpu_parity.py            # CPU subprocess + TPU run,
-                                          # prints the max|Δ| table
+  python scripts/tpu_parity.py [--out PARITY_r04.json]
+                                          # CPU subprocess + TPU run,
+                                          # prints the gated table,
+                                          # exit 1 on any failing row
   SDFLABEL_PARITY_DUMP=out.npz python scripts/tpu_parity.py --compute
                                           # just dump this backend's arrays
 """
@@ -144,28 +161,66 @@ def compute() -> dict:
     return out
 
 
-def compare(cpu: dict, tpu: dict):
+def _row(name, value, limit, op="<="):
+    ok = value <= limit if op == "<=" else value >= limit
+    return {"row": name, "value": float(value), "limit": float(limit),
+            "op": op, "pass": bool(ok)}
+
+
+def gate(cpu: dict, tpu: dict) -> list[dict]:
+    """Thresholded parity verdicts. Limits are 3-10x the round-3 measured
+    values (PARITY.md table): headroom for fp-reorder noise, failure on
+    anything systematic."""
     rows = []
-    for key in sorted(cpu.keys()):
-        if key == "backend":
-            continue
-        a, b = np.asarray(cpu[key], np.float64), np.asarray(
-            tpu[key], np.float64)
+
+    # -- demo images: flip count + in-footprint distribution --------------
+    mask_a = np.asarray(cpu["demo_mask"], np.float64) > 0.5
+    mask_b = np.asarray(tpu["demo_mask"], np.float64) > 0.5
+    flips = int(np.sum(mask_a != mask_b))
+    agree = mask_a & mask_b  # (1, H, W) pixels both backends render
+    # measured 20/20000 boundary flips; gate at 0.5% of the image
+    rows.append(_row("demo_mask_flip_count", flips, mask_a.size * 0.005))
+
+    for key, p999_lim in (("demo_color", 0.15), ("demo_depth", 0.1),
+                          ("demo_normals", 0.3)):
+        a = np.asarray(cpu[key], np.float64)
+        b = np.asarray(tpu[key], np.float64)
         d = np.abs(a - b)
-        dmax = float(np.max(d)) if a.size else 0.0
-        ref = float(np.max(np.abs(a))) if a.size else 0.0
-        # fraction of elements off by more than 1e-3 absolute: separates
-        # "a handful of footprint-boundary pixel flips" (documented fused
-        # splat behavior, test_splat_pallas.py) from systematic error
-        frac = float(np.mean(d > 1e-3)) if a.size else 0.0
-        rows.append((key, dmax, ref, frac))
-    # band overlap of the selection kernel's rank contract
-    a, b = cpu["select_sdf"], tpu["select_sdf"]
+        # broadcast the (1, H, W) agreement mask over channels
+        d_in = d[np.broadcast_to(agree, d.shape)]
+        p999 = float(np.percentile(d_in, 99.9)) if d_in.size else 0.0
+        # measured in-footprint p99.9: color 2.8e-2, depth ~1e-3 m,
+        # normals dominated by softmax-weight sensitivity
+        rows.append(_row(f"{key}_in_footprint_p99.9", p999, p999_lim))
+
+    # -- demo scalars / gradients: relative drift -------------------------
+    loss_rel = abs(float(cpu["demo_loss"]) - float(tpu["demo_loss"])) / max(
+        abs(float(cpu["demo_loss"])), 1e-12)
+    rows.append(_row("demo_loss_rel", loss_rel, 2e-3))  # measured 3.9e-4
+    for key, lim in (("demo_g_latent", 0.15), ("demo_g_pose", 0.15)):
+        a = np.asarray(cpu[key], np.float64)
+        b = np.asarray(tpu[key], np.float64)
+        rel = float(np.max(np.abs(a - b)) / max(np.max(np.abs(a)), 1e-12))
+        rows.append(_row(f"{key}_rel", rel, lim))  # measured 2.8-3.9e-2
+
+    # -- refinement trajectory: absolute drift ----------------------------
+    for key, lim in (("refine_loss", 2e-3), ("refine_yaw", 5e-3),
+                     ("refine_trans", 5e-2), ("refine_scale", 1e-3),
+                     ("refine_latent", 1e-5)):
+        d = float(np.max(np.abs(np.asarray(cpu[key], np.float64)
+                                - np.asarray(tpu[key], np.float64))))
+        rows.append(_row(f"{key}_max_abs", d, lim))
+
+    # -- Pallas selection kernel: values + rank contract ------------------
+    a, b = np.asarray(cpu["select_sdf"], np.float64), np.asarray(
+        tpu["select_sdf"], np.float64)
+    rows.append(_row("select_sdf_max_abs", float(np.max(np.abs(a - b))),
+                     1e-3))  # measured 5.4e-5
     k = 4096
     band_a = set(np.argsort(np.abs(a))[:k].tolist())
     band_b = set(np.argsort(np.abs(b))[:k].tolist())
-    rows.append(("select_band_overlap_top4096",
-                 len(band_a & band_b) / k, 1.0, 0.0))
+    rows.append(_row("select_band_overlap_top4096",
+                     len(band_a & band_b) / k, 0.95, op=">="))
     return rows
 
 
@@ -176,6 +231,10 @@ def main():
         print(f"dumped {len(out)} arrays "
               f"({np.asarray(out['backend'])})", flush=True)
         return
+
+    out_json = "PARITY_r04.json"
+    if "--out" in sys.argv:
+        out_json = sys.argv[sys.argv.index("--out") + 1]
 
     cpu_npz = "/tmp/parity_cpu.npz"
     code = (
@@ -197,11 +256,23 @@ def main():
              **{k: np.asarray(v) for k, v in tpu.items()})
     cpu = dict(np.load(cpu_npz, allow_pickle=False))
 
-    rows = compare(cpu, tpu)
-    print("\n| array | max abs delta | max abs (cpu) | frac > 1e-3 |")
+    rows = gate(cpu, tpu)
+    print("\n| row | value | limit | pass |")
     print("|---|---|---|---|")
-    for key, dmax, ref, frac in rows:
-        print(f"| {key} | {dmax:.3e} | {ref:.3e} | {frac:.2e} |")
+    for rec in rows:
+        print(f"| {rec['row']} | {rec['value']:.3e} | {rec['op']} "
+              f"{rec['limit']:.3e} | {'PASS' if rec['pass'] else 'FAIL'} |")
+
+    import json
+
+    verdict = {"backend_tpu": str(np.asarray(tpu["backend"])),
+               "all_pass": all(r["pass"] for r in rows), "rows": rows}
+    with open(out_json, "w") as f:
+        json.dump(verdict, f, indent=1)
+    print(f"\nwrote {out_json} (all_pass={verdict['all_pass']})",
+          flush=True)
+    if not verdict["all_pass"]:
+        sys.exit(1)
 
 
 if __name__ == "__main__":

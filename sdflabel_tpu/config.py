@@ -113,6 +113,13 @@ class RefineCfg:
     # selection each iteration, reference semantics).
     warm_band: int = 0
     warm_refresh: int = 10
+    # Crop-shape bucketing for the sequential driver path (TPU extension):
+    # (h, w) rounds up to multiples of this and the crop letterboxes into
+    # the bucket with a pixel validity mask — exactly equivalent rendering
+    # (the batched path letterboxes the same way), but ~16 compiled bucket
+    # programs serve every crop shape instead of one XLA compile per
+    # distinct (h, w). 1 = exact per-shape compilation.
+    render_bucket: int = 8
     viz_type: str = "none"
     # [visualization] live: publish each trajectory image to stable
     # <viz_dir>/live/latest_*.png paths as it is written — the headless
@@ -164,6 +171,9 @@ class RefineCfg:
             ),
             warm_refresh=read_cfg_int(
                 cfgp, "optimization", "warm_refresh", cls.warm_refresh
+            ),
+            render_bucket=read_cfg_int(
+                cfgp, "optimization", "render_bucket", cls.render_bucket
             ),
             viz_type=read_cfg_string(cfgp, "visualization", "viz_type", cls.viz_type),
             viz_live=read_cfg_bool(cfgp, "visualization", "live",

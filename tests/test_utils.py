@@ -288,3 +288,52 @@ def test_fast_preset_config():
         cfg, warm_band=ref_cfg.warm_band, warm_refresh=ref_cfg.warm_refresh,
         viz_type=ref_cfg.viz_type,
     ) == ref_cfg
+
+
+def test_tpu_parity_gate_logic():
+    """scripts/tpu_parity.py's threshold gate: bit-identical arrays pass
+    every row; a systematic perturbation fails its row and flips the
+    verdict (the machine check that replaced the round-3 prose table)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "tpu_parity", os.path.join(REPO, "scripts", "tpu_parity.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    rng = np.random.RandomState(0)
+    base = {
+        "demo_mask": (rng.rand(1, 10, 20) > 0.5).astype(np.float64),
+        "demo_color": rng.rand(3, 10, 20),
+        "demo_depth": rng.rand(1, 10, 20) * 10,
+        "demo_normals": rng.rand(3, 10, 20),
+        "demo_loss": np.asarray(123.4),
+        "demo_g_latent": rng.randn(3),
+        "demo_g_pose": rng.randn(4, 4),
+        "refine_loss": rng.rand(5) * 0.1,
+        "refine_yaw": rng.randn(1),
+        "refine_trans": rng.randn(3),
+        "refine_scale": np.asarray([2.0]),
+        "refine_latent": rng.randn(3),
+        "select_sdf": rng.randn(64000) * 0.02,
+    }
+    rows = mod.gate(base, dict(base))
+    assert all(r["pass"] for r in rows)
+    names = [r["row"] for r in rows]
+    assert "demo_mask_flip_count" in names
+    assert "select_band_overlap_top4096" in names
+
+    # systematic loss drift: its row fails, others still pass
+    bad = dict(base)
+    bad["refine_loss"] = base["refine_loss"] + 0.01
+    rows = mod.gate(base, bad)
+    by = {r["row"]: r for r in rows}
+    assert not by["refine_loss_max_abs"]["pass"]
+    assert by["refine_scale_max_abs"]["pass"]
+
+    # shuffled selection values: band overlap collapses below 0.95
+    bad2 = dict(base)
+    bad2["select_sdf"] = rng.permutation(base["select_sdf"])
+    rows = mod.gate(base, bad2)
+    by = {r["row"]: r for r in rows}
+    assert not by["select_band_overlap_top4096"]["pass"]
