@@ -209,6 +209,13 @@ class TrainCfg:
     # within fp32 reduction order. Requires a TPU backend and an
     # unsharded (or 1-device) train step; ignored otherwise.
     fused_ce: bool = False
+    # CE on raw head logits (TPU extension): an EXACT rewrite of the
+    # reference's double-log-softmax formulation (log_softmax is
+    # idempotent, so train_css.py:70-74 computes each 256-channel tower
+    # twice for the same loss/gradients — verified to 1e-10 in
+    # test_direct_ce_mode); the dead model-side towers are eliminated
+    # from the compiled train step. OFF by default pending measurement.
+    direct_ce: bool = False
     epochs: int = 5000000
     lr: float = 0.001
     queue_size: int = 10
@@ -234,6 +241,9 @@ class TrainCfg:
             ),
             fused_ce=read_cfg_bool(
                 cfgp, "train", "fused_ce", cls.fused_ce
+            ),
+            direct_ce=read_cfg_bool(
+                cfgp, "train", "direct_ce", cls.direct_ce
             ),
             epochs=read_cfg_int(cfgp, "train", "epochs", cls.epochs),
             lr=read_cfg_float(cfgp, "train", "lr", cls.lr),

@@ -58,7 +58,8 @@ def cross_entropy_with_internal_softmax(logits, targets, class_axis=1):
     return -jnp.mean(picked)
 
 
-def css_losses(pred: dict, batch: dict, fused_ce: bool = False) -> dict:
+def css_losses(pred: dict, batch: dict, fused_ce: bool = False,
+               direct_ce: bool = False) -> dict:
     """All training loss terms (train_css.py:70-80).
 
     fused_ce=True routes each CE tower through the fused Pallas kernel
@@ -66,6 +67,19 @@ def css_losses(pred: dict, batch: dict, fused_ce: bool = False) -> dict:
     the shape is kernel-supported; semantics are identical (same
     internal log-softmax, mean over all pixels). TPU-only: callers gate
     on the backend.
+
+    direct_ce=True: feeds the heads' RAW logits to the CE towers instead
+    of their log-softmax outputs. This is an EXACT rewrite, not an
+    objective change: log_softmax is idempotent (logsumexp of a
+    log-softmax output is 0, so CE's internal log_softmax maps the
+    model's log-probs to themselves), and the mask multiply behaves
+    identically on raw logits (zeroed rows pick a constant log(1/256)
+    with zero gradient either way). Measured: loss delta exactly 0 in
+    fp32, gradient max|Δ| ~1e-10 (test_direct_ce_mode). What changes is
+    the COMPILED program: the model-side u/v/w log-softmax towers carry
+    no loss terms and XLA dead-code eliminates them — the reference's
+    formulation (train_css.py:70-74) computes each 256-channel
+    log-softmax twice for nothing.
     """
     # int32 (labels < 256): int64 is unavailable under default JAX config
     # and would silently truncate with a per-trace warning
@@ -82,9 +96,11 @@ def css_losses(pred: dict, batch: dict, fused_ce: bool = False) -> dict:
                 return ce_pallas.fused_cross_entropy(logits, targets)
             return cross_entropy_with_internal_softmax(logits, targets)
 
-    loss_u = ce(pred["u"] * mask_ext, uvw_gt[:, 0] * mask_gt)
-    loss_v = ce(pred["v"] * mask_ext, uvw_gt[:, 1] * mask_gt)
-    loss_w = ce(pred["w"] * mask_ext, uvw_gt[:, 2] * mask_gt)
+    uk, vk, wk = (("u_raw", "v_raw", "w_raw") if direct_ce
+                  else ("u", "v", "w"))
+    loss_u = ce(pred[uk] * mask_ext, uvw_gt[:, 0] * mask_gt)
+    loss_v = ce(pred[vk] * mask_ext, uvw_gt[:, 1] * mask_gt)
+    loss_w = ce(pred[wk] * mask_ext, uvw_gt[:, 2] * mask_gt)
     loss_uvw = loss_u + loss_v + loss_w
     loss_mask = ce(pred["mask"], mask_gt) * 2.0
     loss_latent = jnp.mean(
@@ -138,7 +154,7 @@ def init_train_state(variables: Any, lr: float) -> TrainState:
 
 
 def make_train_step(lr: float, sm_hardness: float = 100.0, model=None,
-                    fused_ce: bool = False):
+                    fused_ce: bool = False, direct_ce: bool = False):
     """Build the jittable train step: (state, batch) -> (state, metrics).
 
     model: optional flax module (e.g. css_fused.CSSNetFused for the
@@ -147,6 +163,7 @@ def make_train_step(lr: float, sm_hardness: float = 100.0, model=None,
     (ops.ce_pallas). TPU-only; the kernel is not auto-partitionable, so it
     must stay off when the step is pjit-sharded over a >1-device mesh
     (shard_train_step raises on that combination).
+    direct_ce: opt-in non-parity CE on raw logits (see css_losses).
     """
     if model is None:
         model = css_mod.CSSNet(use_running_average=False,
@@ -162,7 +179,8 @@ def make_train_step(lr: float, sm_hardness: float = 100.0, model=None,
                 batch["rgb"],
                 mutable=["batch_stats"],
             )
-            losses = css_losses(pred, batch, fused_ce=fused_ce)
+            losses = css_losses(pred, batch, fused_ce=fused_ce,
+                                direct_ce=direct_ce)
             return losses["loss"], (losses, updates["batch_stats"])
 
         (loss, (metrics, new_stats)), grads = jax.value_and_grad(

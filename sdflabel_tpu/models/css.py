@@ -258,9 +258,12 @@ class CSSNet(nn.Module):
             return nn.Conv(out_ch, (1, 1), name=f"out_{prefix}")(
                 h.astype(jnp.float32))
 
-        u = jax.nn.log_softmax(head("u", 256), axis=-1)
-        v = jax.nn.log_softmax(head("v", 256), axis=-1)
-        w = jax.nn.log_softmax(head("w", 256), axis=-1)
+        u_raw = head("u", 256)
+        v_raw = head("v", 256)
+        w_raw = head("w", 256)
+        u = jax.nn.log_softmax(u_raw, axis=-1)
+        v = jax.nn.log_softmax(v_raw, axis=-1)
+        w = jax.nn.log_softmax(w_raw, axis=-1)
         mask = head("mask", 2)
 
         # expected-color decoding (resnet_css.py:229-241)
@@ -286,6 +289,12 @@ class CSSNet(nn.Module):
             "u": to_nchw(u),
             "v": to_nchw(v),
             "w": to_nchw(w),
+            # pre-log-softmax head logits: free references (the trainer's
+            # opt-in direct-CE mode consumes these and XLA dead-code
+            # eliminates the unused log-softmax towers from its program)
+            "u_raw": to_nchw(u_raw),
+            "v_raw": to_nchw(v_raw),
+            "w_raw": to_nchw(w_raw),
             "uvw_sm": to_nchw(uvw_sm),
             "uvw_sm_masked": to_nchw(uvw_sm_masked),
             "mask": to_nchw(mask),

@@ -144,6 +144,9 @@ class CSSNetFused(nn.Module):
 
         return {
             "u": to_nchw(u), "v": to_nchw(v), "w": to_nchw(w),
+            # pre-log-softmax logits, mirroring CSSNet's output contract
+            "u_raw": to_nchw(outs["u"]), "v_raw": to_nchw(outs["v"]),
+            "w_raw": to_nchw(outs["w"]),
             "uvw_sm": to_nchw(uvw_sm),
             "uvw_sm_masked": to_nchw(uvw_sm_masked),
             "mask": to_nchw(mask), "mask_sm": to_nchw(mask_sm),

@@ -121,8 +121,9 @@ def train_css(cfgp, max_epochs: int | None = None, mesh=None):
     # partitioning rule — keep it off under a >1-device mesh.
     use_fused_ce = (cfg.fused_ce and jax.default_backend() == "tpu"
                     and (mesh is None or mesh.size == 1))
-    step_fn = css_train.make_train_step(cfg.lr, model=train_model,
-                                        fused_ce=use_fused_ce)
+    step_fn = css_train.make_train_step(
+        cfg.lr, model=train_model, fused_ce=use_fused_ce,
+        direct_ce=getattr(cfg, "direct_ce", False))
     if mesh is not None:
         step_fn = css_train.shard_train_step(step_fn, mesh)
     else:

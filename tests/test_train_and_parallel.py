@@ -324,3 +324,87 @@ def test_train_css_orbax_resume_bit_identical(crops_dir, tmp_path):
     for oa, ob in zip(jax.tree.leaves(state_a.opt_state),
                       jax.tree.leaves(state_b.opt_state)):
         np.testing.assert_array_equal(np.asarray(oa), np.asarray(ob))
+
+
+def test_direct_ce_mode():
+    """Direct CE (css_losses(direct_ce=True)): standard torch CE on the
+    RAW head logits. EXACTLY equal (values and gradients) to the parity
+    default — the reference's formulation (train_css.py:70-74) feeds
+    log-softmax outputs through CE's internal log_softmax, which is
+    idempotent — while letting XLA eliminate the dead model-side
+    log-softmax towers from the compiled step."""
+    rng = np.random.RandomState(2)
+    b, h, w = 2, 8, 8
+    raw = {k: rng.randn(b, 256, h, w).astype(np.float32) for k in "uvw"}
+    pred = {
+        **{k: np.asarray(jax.nn.log_softmax(jnp.asarray(raw[k]), axis=1))
+           for k in "uvw"},
+        **{f"{k}_raw": raw[k] for k in "uvw"},
+        "mask": rng.randn(b, 2, h, w).astype(np.float32),
+        "latent": rng.randn(b, 3).astype(np.float32),
+    }
+    batch = {
+        "uvw": rng.randint(0, 256, (b, 3, h, w)),
+        "mask": rng.randint(0, 2, (b, h, w)),
+        "latent": rng.randn(b, 3).astype(np.float32),
+    }
+    jpred = {k: jnp.asarray(v) for k, v in pred.items()}
+    jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
+    direct = css_train.css_losses(jpred, jbatch, direct_ce=True)
+    parity = css_train.css_losses(jpred, jbatch)
+
+    # direct == standard torch CE on raw logits with the same masking
+    ce = torch.nn.CrossEntropyLoss()
+    mask_gt = torch.from_numpy(batch["mask"]).long()
+    uvw_gt = torch.from_numpy(batch["uvw"]).long()
+    ref = 0.0
+    for i, key in enumerate("uvw"):
+        p = torch.from_numpy(raw[key])
+        mask_ext = mask_gt.unsqueeze(1).expand_as(p).float()
+        ref = ref + ce(p * mask_ext, uvw_gt[:, i] * mask_gt)
+    np.testing.assert_allclose(float(direct["loss_uvw"]), float(ref),
+                               rtol=1e-5)
+    # the rewrite is EXACT: log_softmax is idempotent, so the reference's
+    # double-log-softmax formulation computes the same loss (and, through
+    # the shift-invariance of CE's internal log_softmax, the same
+    # gradients) as standard CE on the raw logits
+    np.testing.assert_allclose(float(direct["loss_uvw"]),
+                               float(parity["loss_uvw"]), rtol=1e-6)
+    g_d = jax.grad(lambda r: css_train.css_losses(
+        {**jpred, "u_raw": r}, jbatch, direct_ce=True)["loss_uvw"])(
+        jnp.asarray(raw["u"]))
+    g_p = jax.grad(lambda r: css_train.css_losses(
+        {**jpred, "u": jax.nn.log_softmax(r, axis=1)}, jbatch)["loss_uvw"])(
+        jnp.asarray(raw["u"]))
+    np.testing.assert_allclose(np.asarray(g_d), np.asarray(g_p), atol=1e-8)
+    # mask/latent terms are shared between modes
+    np.testing.assert_allclose(float(direct["loss_mask"]),
+                               float(parity["loss_mask"]), rtol=1e-6)
+
+    # CSSNet emits the raw logits consistently: log_softmax(u_raw) == u
+    model = css_mod.CSSNet(use_running_average=False, width=8)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 3, 32, 32)))
+    out = model.apply(variables, jnp.asarray(
+        rng.rand(1, 3, 32, 32), jnp.float32), mutable=["batch_stats"])[0]
+    np.testing.assert_allclose(
+        np.asarray(jax.nn.log_softmax(out["u_raw"], axis=1)),
+        np.asarray(out["u"]), atol=1e-6)
+
+    # the direct train step runs and optimizes
+    step = jax.jit(css_train.make_train_step(1e-3, model=model,
+                                             direct_ce=True))
+    state = css_train.init_train_state(
+        {"params": variables["params"],
+         "batch_stats": variables["batch_stats"]}, 1e-3)
+    tb = {"rgb": jnp.asarray(rng.rand(2, 3, 32, 32), jnp.float32),
+          "uvw": jnp.asarray(rng.randint(0, 256, (2, 3, 32, 32))),
+          "mask": jnp.asarray(rng.randint(0, 2, (2, 32, 32))),
+          "latent": jnp.asarray(rng.randn(2, 3), jnp.float32)}
+    l0 = None
+    for _ in range(8):
+        state, metrics = step(state, tb)
+        if l0 is None:
+            l0 = float(metrics["loss"])
+    assert np.isfinite(float(metrics["loss"]))
+    assert float(metrics["loss"]) < l0
