@@ -252,6 +252,110 @@ def bench_crops_per_hour():
     return out
 
 
+def bench_driver_crop():
+    """END-TO-END crops/hour: the full per-crop device program in ONE
+    dispatch — CSS forward (reference width-64 net, 128x128 crop) ->
+    surface decode (capacity 8192) -> on-device RANSAC init (kabsch,
+    azimuth-constrained yaw extraction) -> 60-iteration refinement ->
+    label extents (engine.labels.surface_extents). This is BASELINE.md's
+    'KITTI crops autolabeled per hour' as a captured device artifact
+    (VERDICT r3 next #5); bench_crops_per_hour's number covers the
+    refinement dispatch alone. Host-side residue not measured here (image
+    decode, PCA normals, pickle IO) is profiled separately by
+    scripts/measure_driver_throughput.py (~0.9 s/frame, overlapped by
+    prefetch). Reference flow: pipelines/refine_css.py:94-250.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from sdflabel_tpu.engine import labels as labels_mod
+    from sdflabel_tpu.engine import refine as refine_mod
+    from sdflabel_tpu.models import css as css_mod
+    from sdflabel_tpu.ops import geometry, grid as grid_ops, ransac
+    from sdflabel_tpu.renderer import rasterer as rast_mod
+
+    cfg, decoder, dparams = _deepsdf_setup()
+    sel = None
+    if jax.default_backend() == "tpu":
+        from sdflabel_tpu.ops import mlp_pallas
+
+        sel = mlp_pallas.pallas_select_fn(cfg, dparams)
+
+    css_model = css_mod.CSSNet(use_running_average=True,
+                               latent_size=LATENT)
+    css_vars = css_model.init(jax.random.PRNGKey(1),
+                              jnp.zeros((1, 3, CSS_RES, CSS_RES)))
+    grid_pts = grid_ops.generate_point_grid(GRID_DENSITY)
+    rcfg = refine_mod.RefineConfig(iters=CROP_ITERS,
+                                   surface_capacity=CROP_CAPACITY)
+    K = jnp.asarray(rast_mod.calibration_matrix((CROP, CROP)))
+    refine_fn = refine_mod.make_refine_fn(decoder, rcfg, grid_pts, K,
+                                          (CROP, CROP),
+                                          select_decoder=sel)
+    rccfg = ransac.RansacConfig(hypothesis_chunk=16)
+    mcap = 2048  # RefineRuntime.ransac_model_capacity default
+
+    ys = (np.arange(CROP) * CSS_RES // CROP).clip(max=CSS_RES - 1)
+    ys_j = jnp.asarray(ys)
+
+    def program(variables, crop_rgb, scene_pts, scene_cls, scene_mask,
+                frustum, fmask, key):
+        out = css_model.apply(variables, crop_rgb)
+        latent = out["latent"][0]
+        nocs_pred = out["uvw_sm_masked"][0] / 255.0
+        surf, _sdf = grid_ops.surface_from_decoder(
+            decoder, latent, grid_pts, capacity=CROP_CAPACITY)
+        pose = ransac.ransac_pose(
+            surf.points[:mcap], surf.nocs[:mcap], surf.mask[:mcap],
+            scene_pts, scene_cls, scene_mask, key, method="kabsch",
+            scale_model=2.0, cfg=rccfg)
+        # azimuth constraint + yaw extraction (refine_css.py:176-178)
+        e_y = jnp.asarray([0.0, 1.0, 0.0])
+        rot = pose.rot.at[:, 1].set(e_y).at[1, :].set(e_y)
+        m4 = jnp.eye(4).at[:3, :3].set(
+            rot @ jnp.diag(jnp.asarray([-1.0, 1.0, 1.0])))
+        yaw = geometry.roty_in_bev_jnp(m4) + jnp.pi / 2
+        params0 = refine_mod.RefineParams(
+            yaw=yaw.reshape(1).astype(jnp.float32),
+            trans=(pose.tra / pose.scale).astype(jnp.float32),
+            scale=pose.scale.reshape(1).astype(jnp.float32),
+            latent=latent,
+        )
+        nocs_target = nocs_pred[:, ys_j[:, None], ys_j[None, :]]
+        final, _hist = refine_fn(params0, nocs_target, frustum, fmask)
+        ext = labels_mod.surface_extents(decoder, grid_pts, final.latent,
+                                         capacity=CROP_CAPACITY)
+        return (final.yaw, final.trans, final.scale, ext.mn, ext.mx,
+                ext.valid, pose.num_inliers)
+
+    jitted = jax.jit(lambda c, *a: program(css_vars, c, *a))
+    rng = np.random.RandomState(0)
+    crop = jnp.asarray(rng.rand(1, 3, CSS_RES, CSS_RES), jnp.float32)
+    scap = 2048  # RefineRuntime.ransac_scene_capacity default
+    scene_pts = jnp.asarray(rng.randn(scap, 3) + [0, 0, 8.0], jnp.float32)
+    scene_cls = jnp.asarray(rng.rand(scap, 3), jnp.float32)
+    scene_mask = jnp.ones((scap,), bool)
+    frustum = jnp.asarray(rng.randn(FRUSTUM, 3) + [0, 0, 8.0], jnp.float32)
+    fmask = jnp.ones((FRUSTUM,), bool)
+    key = jax.random.PRNGKey(0)
+
+    def run():
+        out = jitted(crop, scene_pts, scene_cls, scene_mask, frustum,
+                     fmask, key)
+        return float(out[0][0])
+
+    print("# driver_crop (compiling)...", file=sys.stderr, flush=True)
+    run()
+    run()
+    n = 10
+    t0 = time.perf_counter()
+    for _ in range(n):
+        run()
+    s_per_crop = (time.perf_counter() - t0) / n
+    return {"s_per_crop": round(s_per_crop, 4),
+            "crops_per_hour": round(3600.0 / s_per_crop, 1)}
+
+
 def bench_css_train():
     """CSS training step at the reference config (BASELINE config #4):
     ms/step and images/s, pipelined-burst protocol (BENCH_NOTES 'CSS
@@ -599,6 +703,12 @@ def main():
     if not SKIP_EXTRAS and variant is None:
         extras["variants"] = bench_variants(flops_iter, s1_flops)
         extras["crops_per_hour"] = bench_crops_per_hour()
+        try:
+            extras["driver_crop"] = bench_driver_crop()
+        except Exception as e:  # pragma: no cover - defensive
+            print(f"# driver_crop bench failed: {type(e).__name__}: {e}",
+                  file=sys.stderr)
+            extras["driver_crop"] = {"error": str(e)[:200]}
         try:
             extras["css_train"] = bench_css_train()
         except Exception as e:  # pragma: no cover - defensive

@@ -171,10 +171,15 @@ labels = {os.path.join(tmp, 'autolabels')}
         # steady state: same program shapes, fresh output dir (the
         # idempotent skip-if-exists would otherwise skip every frame)
         cfgp.set("output", "labels", os.path.join(tmp, "autolabels2"))
+        pipeline.reset_transfer_stats()
         t0 = time.perf_counter()
         n_annos, n_estims = pipeline.refine_css(cfgp)
         wall = time.perf_counter() - t0
         crops = args.frames * 3
+        stats = dict(pipeline.TRANSFER_STATS)
+        print(f"device->host fetches: {stats['fetches']} "
+              f"({stats['fetches'] / crops:.1f} per crop, "
+              f"{stats['arrays']} arrays)", flush=True)
         print(f"frames={args.frames} crops={crops} "
               f"(annos={n_annos} estims={n_estims})", flush=True)
         print(f"host preprocessing alone: {host_s / args.frames * 1e3:.0f} "

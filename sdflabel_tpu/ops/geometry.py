@@ -34,6 +34,15 @@ def rot_from_yaw_np(yaw: float) -> np.ndarray:
     return np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]], dtype=np.float64)
 
 
+def roty_in_bev_jnp(pose: jax.Array) -> jax.Array:
+    """Jittable twin of roty_in_bev (refinement.py:201-227) for fully
+    on-device drivers (bench driver_crop program). Host float64 callers
+    should keep using roty_in_bev."""
+    forward = pose[:3, :3] @ jnp.asarray([0.0, 0.0, 1.0], pose.dtype)
+    r = jnp.arccos(jnp.clip(forward[0], -1.0, 1.0))
+    return jnp.where(forward[2] > 0, -r, r)
+
+
 def roty_in_bev(pose: np.ndarray) -> float:
     """Rotation about Y in BEV from a pose matrix (refinement.py:201-227)."""
     forward = pose[:3, :3] @ np.asarray([0.0, 0.0, 1.0])

@@ -27,6 +27,7 @@ def make_batched_refine(
     mesh: Mesh | None = None,
     select_decoder=None,
     stage2_fn=None,
+    with_extents: bool = False,
 ):
     """Returns refine_batch(params0_b, K_b, nocs_b, frustum_b, fmask_b,
     pixel_masks_b) — SIX arguments; the per-crop pixel validity mask is
@@ -40,6 +41,12 @@ def make_batched_refine(
     cfg.warm_band/select_decoder pass straight through to
     make_refine_fn; under vmap the warm refresh lax.cond keeps real
     cond semantics because its predicate (the scan counter) is unbatched.
+
+    with_extents=True additionally returns per-crop SurfaceExtents of the
+    FINAL latent (engine.labels.surface_extents) computed inside the same
+    compiled program — the driver's label finishing then needs only a
+    7-float-per-crop host fetch instead of a surface-cloud transfer plus
+    an eager re-decode per crop.
     """
 
     def one(params0, K, nocs, fr, fm, pm):
@@ -47,7 +54,17 @@ def make_batched_refine(
                                        crop_hw,
                                        select_decoder=select_decoder,
                                        stage2_fn=stage2_fn)
-        return fn(params0, nocs, fr, fm, pm)
+        final, hist = fn(params0, nocs, fr, fm, pm)
+        if not with_extents:
+            return final, hist
+        from sdflabel_tpu.engine import labels as labels_mod
+
+        ext = labels_mod.surface_extents(
+            sdf_decoder, grid_points, final.latent,
+            capacity=cfg.surface_capacity,
+            threshold=cfg.surface_threshold,
+        )
+        return final, hist, ext
 
     batched = jax.vmap(one)
 
@@ -61,5 +78,6 @@ def make_batched_refine(
     return jax.jit(
         batched,
         in_shardings=(shard, shard, shard, shard, shard, shard),
-        out_shardings=(shard, shard),
+        out_shardings=(shard, shard, shard) if with_extents
+        else (shard, shard),
     )

@@ -41,6 +41,31 @@ from sdflabel_tpu.pipelines.train_css import setup_css
 IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
 IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
 
+# Structural host<->device traffic counters (reset/read by
+# scripts/measure_driver_throughput.py): every synchronous device->host
+# fetch in the driver goes through _fetch so the per-crop round-trip count
+# is a measured artifact, not an estimate.
+TRANSFER_STATS = {"fetches": 0, "arrays": 0}
+
+
+def _fetch(*arrays):
+    """ONE synchronous device->host transfer for all arguments.
+
+    jax.device_get on a tuple gathers every array in a single blocking
+    round trip; fetching the same values through separate np.asarray calls
+    pays one tunnel RTT each (~40-96 ms on a remote TPU backend,
+    BENCH_NOTES 'End-to-end driver throughput')."""
+    if any(isinstance(a, jax.Array) for a in arrays):
+        TRANSFER_STATS["fetches"] += 1
+        TRANSFER_STATS["arrays"] += len(arrays)
+    out = jax.device_get(arrays)
+    return out if len(arrays) > 1 else out[0]
+
+
+def reset_transfer_stats():
+    TRANSFER_STATS["fetches"] = 0
+    TRANSFER_STATS["arrays"] = 0
+
 
 def transform_bgr_crop(crop_bgr: np.ndarray):
     """BGR float crop -> normalized (3,128,128) tensor (refinement.py:60-84)."""
@@ -181,6 +206,20 @@ class RefineRuntime:
                 capacity=self.surface_capacity,
             )
         )
+
+        # Fused CSS forward + surface decode: ONE dispatch + ONE fetch per
+        # crop instead of two of each (the surface decode consumes the CSS
+        # latent directly on device).
+        def _css_surf(variables, crop):
+            out = self._css_model.apply(variables, crop)
+            latent = out["latent"][0]
+            surf, _sdf = grid_ops.surface_from_decoder(
+                self.decoder, latent, self.grid_points,
+                capacity=self.surface_capacity,
+            )
+            return out["uvw_sm_masked"][0], latent, surf
+
+        self._css_surface = jax.jit(_css_surf)
         self._refine_cache: dict = {}
         rcfg = self.ransac_cfg
         self._ransac = jax.jit(
@@ -203,6 +242,19 @@ class RefineRuntime:
     def surface(self, latent):
         return self._surface(jnp.asarray(latent))
 
+    def css_and_surface(self, crop_rgb: np.ndarray):
+        """(uvw_sm_masked (3,128,128), latent (L,), SurfacePoints) in one
+        compiled dispatch. Falls back to the css_forward seam when a
+        subclass provides an oracle CSS (tests) — css_forward overrides
+        keep working, they just pay the second dispatch."""
+        if (self.css_variables is not None
+                and type(self).css_forward is RefineRuntime.css_forward):
+            return self._css_surface(self.css_variables,
+                                     jnp.asarray(crop_rgb[None]))
+        pred = self.css_forward(crop_rgb)
+        surf, _sdf = self.surface(pred["latent"][0])
+        return pred["uvw_sm_masked"][0], pred["latent"][0], surf
+
     def refine_fn(self, crop_hw: tuple[int, int]):
         """Compiled refinement program for this crop shape (cached per
         shape; the intrinsics are a TRACED runtime argument, not a
@@ -220,11 +272,20 @@ class RefineRuntime:
             )
 
             def fn(params0, K_arr, nocs, fr, fm, pm=None):
-                return refine_mod.make_refine_fn(
+                final, hist = refine_mod.make_refine_fn(
                     self.decoder, rcfg, self.grid_points, K_arr, crop_hw,
                     select_decoder=self.select_decoder,
                     stage2_fn=self.stage2_fn,
                 )(params0, nocs, fr, fm, pm)
+                # Final-latent band extents fused into the SAME program:
+                # label finishing then fetches 7 floats instead of
+                # re-decoding the surface eagerly and pulling the cloud.
+                ext = labels_mod.surface_extents(
+                    self.decoder, self.grid_points, final.latent,
+                    capacity=self.surface_capacity,
+                    threshold=rcfg.surface_threshold,
+                )
+                return final, hist, ext
 
             self._refine_cache[key] = jax.jit(fn)
         return self._refine_cache[key]
@@ -240,6 +301,9 @@ class RefineRuntime:
         every crop shape where per-(h, w) compilation pays a fresh XLA
         compile per distinct shape (minutes each on a remote backend).
         bucket=1 reproduces exact per-shape compilation.
+
+        Returns (final RefineParams, history, SurfaceExtents) — all
+        device arrays from one compiled dispatch.
         """
         if bucket is None:
             bucket = getattr(self.cfg, "render_bucket", 8) or 1
@@ -302,12 +366,14 @@ class RefineRuntime:
             pcd_dsdf, nocs_dsdf, model_mask, jnp.asarray(sp),
             jnp.asarray(sc), jnp.asarray(sm), self.next_key(),
         )
-        if int(pose.num_inliers) < self.ransac_cfg.min_inliers:
+        num_inliers, pscale, prot, ptra = _fetch(
+            pose.num_inliers, pose.scale, pose.rot, pose.tra)
+        if int(num_inliers) < self.ransac_cfg.min_inliers:
             return None  # pose.py:135 "no pose found" threshold
         return {
-            "scale": float(pose.scale),
-            "rot": np.asarray(pose.rot, np.float64),
-            "tra": np.asarray(pose.tra, np.float64),
+            "scale": float(pscale),
+            "rot": np.asarray(prot, np.float64),
+            "tra": np.asarray(ptra, np.float64),
         }
 
 
@@ -369,11 +435,13 @@ def prepare_crop(rt: RefineRuntime, sample: dict, anno: dict,
         crop_bgr = crop_bgr * mask[..., None]
 
     crop_rgb, _ = transform_bgr_crop(crop_bgr)
-    pred_css = rt.css_forward(crop_rgb)
-    nocs_pred = np.asarray(pred_css["uvw_sm_masked"])[0] / 255.0
-    latent_pred = np.asarray(pred_css["latent"])[0]
-
-    surf, _sdf = rt.surface(latent_pred)
+    nocs_dev, latent_dev, surf = rt.css_and_surface(crop_rgb)
+    # One combined fetch: CSS NOCS + latent + the surface cloud pieces the
+    # host math below needs (height re-estimation). The device-side surf
+    # arrays stay live for RANSAC — no re-upload.
+    nocs_raw, latent_pred, surf_pts_np, surf_mask_np = _fetch(
+        nocs_dev, latent_dev, surf.points, surf.mask)
+    nocs_pred = np.asarray(nocs_raw) / 255.0
     pcd_dsdf, nocs_dsdf = surf.points, surf.nocs
 
     nocs_pred_resized = nearest_resize_chw(nocs_pred, crop_dep.shape[:2])
@@ -398,7 +466,7 @@ def prepare_crop(rt: RefineRuntime, sample: dict, anno: dict,
     ) + math.pi / 2
 
     # Height re-estimation (refine_css.py:180-189)
-    pcd_np = np.asarray(pcd_dsdf)[np.asarray(surf.mask)]
+    pcd_np = surf_pts_np[surf_mask_np]
     world_points = (rot @ (pcd_np * scale).T).T + tra
     proj_world = geometry.project_np(sample["orig_cam"], world_points)
     L, T = proj_world[:, 0].min(), proj_world[:, 1].min()
@@ -436,11 +504,26 @@ def prepare_crop(rt: RefineRuntime, sample: dict, anno: dict,
     }
 
 
-def finish_label(rt: RefineRuntime, final, sample: dict, anno: dict):
+def finish_label(rt: RefineRuntime, final, sample: dict, anno: dict,
+                 extents=None):
     """Label generation from final params (refine_css.py:228-236).
 
     Returns None when the final latent decodes to an empty surface band.
+
+    extents: SurfaceExtents already computed on device by the refinement
+    program (run_refine / refine_crops_batched) — ONE 7-float fetch then
+    pure host float64 label math. When None (legacy callers), falls back
+    to the eager host-driven re-decode.
     """
+    if extents is not None:
+        yaw, scale, trans, mn, mx, valid = _fetch(
+            final.yaw, final.scale, final.trans,
+            extents.mn, extents.mx, extents.valid)
+        if not bool(valid):
+            return None
+        return labels_mod.kitti_label_from_extents(
+            yaw, scale, trans, mn, mx, sample["world_to_cam"],
+            anno["bbox"])
     label, scaled_points, cam_t = labels_mod.get_kitti_label(
         rt.decoder, rt.grid_points, np.asarray(final.latent),
         np.asarray(final.scale), np.asarray(final.trans),
@@ -559,16 +642,14 @@ def refine_annotation(rt: RefineRuntime, sample: dict, anno: dict,
     prep = prepare_crop(rt, sample, anno, maskrcnn, bbox_max_id)
     if prep is None:
         return None
-    final, hist = rt.run_refine(prep)
+    final, hist, ext = rt.run_refine(prep)
     if viz_dir is not None:
         render_trajectory(rt, prep, sample, hist, viz_dir, tag=viz_tag)
     if verbose:
         # loss summary (the reference prints per-iteration losses,
         # optimizer.py:154; one host sync at the end instead of 60)
-        losses = np.asarray(hist.loss)
-        l2d = np.asarray(hist.loss_2d)
-        l3d = np.asarray(hist.loss_3d)
-        applied = np.asarray(hist.applied)
+        losses, l2d, l3d, applied = _fetch(
+            hist.loss, hist.loss_2d, hist.loss_3d, hist.applied)
         print(
             "REFINE {} iters | loss {:.5f} -> {:.5f} "
             "(2D {:.5f} -> {:.5f}, 3D {:.5f} -> {:.5f}, applied {}/{})".format(
@@ -576,7 +657,7 @@ def refine_annotation(rt: RefineRuntime, sample: dict, anno: dict,
                 l3d[0], l3d[-1], int(applied.sum()), len(applied),
             )
         )
-    return finish_label(rt, final, sample, prep["anno"])
+    return finish_label(rt, final, sample, prep["anno"], extents=ext)
 
 
 def refine_crops_batched(rt: RefineRuntime, sample: dict, preps: list,
@@ -645,23 +726,32 @@ def refine_crops_batched(rt: RefineRuntime, sample: dict, preps: list,
         rt._refine_cache[key] = batched_refine.make_batched_refine(
             rt.decoder, rcfg, rt.grid_points, (bh, bw), mesh=None,
             select_decoder=rt.select_decoder, stage2_fn=rt.stage2_fn,
+            with_extents=True,
         )
     fn = rt._refine_cache[key]
-    final, hist = fn(params0, jnp.asarray(Kb), jnp.asarray(nocs),
-                     jnp.asarray(frustum), jnp.asarray(fmask),
-                     jnp.asarray(pmask))
+    final, hist, ext = fn(params0, jnp.asarray(Kb), jnp.asarray(nocs),
+                          jnp.asarray(frustum), jnp.asarray(fmask),
+                          jnp.asarray(pmask))
+    # ONE fetch for every crop's label inputs (B x 7 floats + B x params);
+    # finish_label then runs on host slices (its _fetch is a no-op on
+    # numpy inputs), keeping the monkeypatchable seam.
+    yaw_b, scale_b, trans_b, lat_b, mn_b, mx_b, valid_b = _fetch(
+        final.yaw, final.scale, final.trans, final.latent,
+        ext.mn, ext.mx, ext.valid)
     labels = []
     for i, p in enumerate(preps):
         one = refine_mod.RefineParams(
-            yaw=final.yaw[i], trans=final.trans[i], scale=final.scale[i],
-            latent=final.latent[i],
+            yaw=yaw_b[i], trans=trans_b[i], scale=scale_b[i],
+            latent=lat_b[i],
         )
+        ext_i = labels_mod.SurfaceExtents(
+            mn=mn_b[i], mx=mx_b[i], valid=valid_b[i])
         if viz_dir is not None and rt.cfg.viz_type not in (None, "",
                                                            "none"):
             hist_i = jax.tree.map(lambda x: x[i], hist)  # vmap axis 0
             render_trajectory(rt, p, sample, hist_i, viz_dir,
                               tag=f"{viz_tag}c{i:02d}_")
-        label = finish_label(rt, one, sample, p["anno"])
+        label = finish_label(rt, one, sample, p["anno"], extents=ext_i)
         if label is not None:
             labels.append(label)
     return labels
@@ -747,14 +837,15 @@ def refine_css(cfgp, subset_frames=None, batched=True):
             if batched:
                 preps.append(prep)
             else:
-                final, hist = rt.run_refine(prep)
+                final, hist, ext = rt.run_refine(prep)
                 if cfg.viz_type and cfg.viz_type != "none":
                     render_trajectory(
                         rt, prep, sample, hist,
                         os.path.join(cfg.labels_out, "viz"),
                         tag=f"f{frame_idx:06d}_a{anno_idx:02d}_",
                     )
-                label = finish_label(rt, final, sample, prep["anno"])
+                label = finish_label(rt, final, sample, prep["anno"],
+                                     extents=ext)
                 if label is None:
                     # finish_label returns None when the refined latent
                     # decodes to an empty surface band (QUIRKS #15) —

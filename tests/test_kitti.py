@@ -246,11 +246,11 @@ def test_refine_css_sequential_matches_batched(kitti_root, tmp_path,
     real_finish = pipeline.finish_label
     calls = {"n": 0}
 
-    def flaky_finish(rt, final, sample, anno):
+    def flaky_finish(rt, final, sample, anno, extents=None):
         calls["n"] += 1
         if calls["n"] == 1:
             return None
-        return real_finish(rt, final, sample, anno)
+        return real_finish(rt, final, sample, anno, extents=extents)
 
     monkeypatch.setattr(pipeline, "finish_label", flaky_finish)
 

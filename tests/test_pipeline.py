@@ -254,7 +254,7 @@ def test_batched_crops_matches_sequential(synthetic_world):
     assert prep is not None
 
     refine_fn = rt.refine_fn(prep["crop_hw"])
-    final_seq, _ = refine_fn(
+    final_seq, _, _ext = refine_fn(
         prep["params0"], jnp.asarray(prep["intrinsics"]),
         jnp.asarray(prep["nocs_target"]), jnp.asarray(prep["frustum"]),
         jnp.asarray(prep["fmask"]),

@@ -438,3 +438,57 @@ def test_shipping_variant_contracts():
                                rtol=2e-4)
     np.testing.assert_allclose(np.asarray(f_c.trans), np.asarray(f_e.trans),
                                atol=1e-5)
+
+
+def test_on_device_extents_label_matches_host_path():
+    """surface_extents + kitti_label_from_extents (the driver's fused
+    on-device label path) reproduces get_kitti_label's host-driven
+    numbers, including the empty-band -> invalid contract."""
+    from sdflabel_tpu.engine import labels as labels_mod
+    from sdflabel_tpu.models import deepsdf
+
+    dsdf_cfg = deepsdf.DeepSDFConfig(
+        latent_size=3, dims=(64,) * 4, norm_layers=(0, 1, 2, 3),
+        latent_in=(2,), weight_norm=True)
+    params = deepsdf.init_params(dsdf_cfg, jax.random.PRNGKey(3))
+    decoder = deepsdf.sdf_fn(dsdf_cfg, params)
+    grid_pts = grid_ops.generate_point_grid(24)
+
+    p_wc = np.eye(4)
+    p_wc[:3, 3] = [0.2, -0.1, 0.5]
+    bbox = np.asarray([10, 20, 90, 70])
+
+    rng = np.random.RandomState(0)
+    checked = 0
+    for base in ([1.0, 0, 0], [0, 1.0, 0], [0, 0, 1.0], None):
+        if base is None:
+            latent = rng.randn(3).astype(np.float32)
+        else:
+            latent = np.asarray(base, np.float32) \
+                + 0.05 * rng.randn(3).astype(np.float32)
+        latent /= np.linalg.norm(latent)
+        yaw = rng.uniform(-np.pi, np.pi)
+        scale = rng.uniform(1.5, 3.0)
+        trans = rng.uniform(-1, 1, 3) + [0, 0, 5.0]
+
+        host_label, _, _ = labels_mod.get_kitti_label(
+            decoder, grid_pts, latent, np.asarray([scale]), trans,
+            np.asarray([yaw]), p_wc, bbox, capacity=512)
+
+        ext = jax.jit(lambda lat: labels_mod.surface_extents(
+            decoder, grid_pts, lat, capacity=512))(jnp.asarray(latent))
+        if host_label is None:
+            assert not bool(ext.valid)
+            continue
+        assert bool(ext.valid)
+        dev_label = labels_mod.kitti_label_from_extents(
+            yaw, scale, trans, np.asarray(ext.mn), np.asarray(ext.mx),
+            p_wc, bbox)
+        np.testing.assert_allclose(dev_label["location"],
+                                   host_label["location"], atol=1e-5)
+        np.testing.assert_allclose(dev_label["dimensions"],
+                                   host_label["dimensions"], atol=1e-5)
+        assert abs(dev_label["rotation_y"] - host_label["rotation_y"]) < 1e-6
+        assert abs(dev_label["alpha"] - host_label["alpha"]) < 1e-6
+        checked += 1
+    assert checked >= 2  # the comparison actually exercised valid bands
