@@ -62,18 +62,27 @@ import os  # noqa: E402
 
 # The DEFAULT benched program mirrors the shipping default: fused Pallas
 # stage-1 selection on TPU (config.RefineCfg.select_pallas=True since
-# round 3; measured 1.10x over the XLA selection path, BENCH_NOTES.md).
+# round 3; measured 1.10x over the XLA selection path, BENCH_NOTES.md)
+# PLUS warm-started band selection, pool == capacity, refresh 10
+# (config.RefineCfg.warm_band=8192 since round 4 — quality-gated by
+# QUALITY_r04.json: mAP identical to the exact path at the full driver).
 # Env overrides for ad-hoc measurement runs:
+#   BENCH_EXACT=1          force exact per-iteration band selection (the
+#                          pre-round-4 headline protocol)
 #   BENCH_SELECT_PALLAS=0  force the plain XLA selection path
 #   BENCH_SELECT_BF16=1    bf16 selection decode variant
-#   BENCH_WARM_BAND=N [BENCH_WARM_REFRESH=M]  warm-started band selection
+#   BENCH_WARM_BAND=N [BENCH_WARM_REFRESH=M]  custom warm pool/refresh
 #   BENCH_SKIP_EXTRAS=1    headline only (skip variants/crops/css metrics)
 SELECT_BF16 = bool(int(os.environ.get("BENCH_SELECT_BF16", "0")))
 SELECT_PALLAS = bool(int(os.environ.get("BENCH_SELECT_PALLAS", "1")))
 # default 0 = the shipping default (measured 0.96x non-win, BENCH_NOTES)
 STAGE2_PALLAS = bool(int(os.environ.get("BENCH_STAGE2_PALLAS", "0")))
+EXACT = bool(int(os.environ.get("BENCH_EXACT", "0")))
 WARM_BAND = int(os.environ.get("BENCH_WARM_BAND", "0"))
 WARM_REFRESH = int(os.environ.get("BENCH_WARM_REFRESH", "10"))
+# shipping warm pool at the headline protocol (== CAPACITY; the INI's
+# 8192 clamps to the surface capacity by the same pool==capacity rule)
+SHIP_WARM = 0 if EXACT else (WARM_BAND or CAPACITY)
 SKIP_EXTRAS = bool(int(os.environ.get("BENCH_SKIP_EXTRAS", "0")))
 
 
@@ -163,14 +172,10 @@ def build_refine(select="default", warm_band=0, warm_refresh=10,
 
 
 def bench_ours():
-    if WARM_BAND or SELECT_BF16 or not SELECT_PALLAS:
-        # env-forced variant run (ad-hoc measurement)
-        sel = "bf16" if SELECT_BF16 else ("default" if SELECT_PALLAS
-                                          else "xla")
-        run = build_refine(select=sel, warm_band=WARM_BAND,
-                           warm_refresh=WARM_REFRESH)
-    else:
-        run = build_refine()
+    sel = "bf16" if SELECT_BF16 else ("default" if SELECT_PALLAS
+                                      else "xla")
+    run = build_refine(select=sel, warm_band=SHIP_WARM,
+                       warm_refresh=WARM_REFRESH)
     # progress to stderr (stdout is reserved for the one JSON line); the
     # remote axon compile of the full scanned program is 300-500 s cold
     print("# compiling (cold remote compile can take ~5-8 min)...",
@@ -188,9 +193,8 @@ def bench_variants(flops_iter=None, s1_flops=None):
     pays the non-fused stage-1 HBM traffic."""
     out = []
     for name, kw in (
+        ("exact_selection", dict(select="default")),  # pre-r4 headline
         ("xla_select", dict(select="xla")),
-        ("warm_band_pool4096_refresh10",
-         dict(select="default", warm_band=CAPACITY)),
     ):
         try:
             print(f"# variant {name}...", file=sys.stderr, flush=True)
@@ -207,6 +211,9 @@ def bench_variants(flops_iter=None, s1_flops=None):
                 elif name == "xla_select":
                     fv = flops_iter
                     bv = analytic_hbm_bytes_per_iteration(False)
+                elif name == "exact_selection":
+                    fv = flops_iter
+                    bv = analytic_hbm_bytes_per_iteration(True)
                 else:
                     fv = bv = None
                 if fv and bv:
@@ -229,8 +236,9 @@ def bench_crops_per_hour():
     default path and the best variant (warm band)."""
     out = {}
     for name, kw in (
-        ("default", dict(select="default")),
-        ("warm_band", dict(select="default", warm_band=CROP_CAPACITY)),
+        # shipping default since round 4: warm pool == capacity
+        ("default_warm", dict(select="default", warm_band=CROP_CAPACITY)),
+        ("exact", dict(select="default")),
     ):
         try:
             print(f"# crops/hour {name}...", file=sys.stderr, flush=True)
@@ -287,7 +295,9 @@ def bench_driver_crop():
                               jnp.zeros((1, 3, CSS_RES, CSS_RES)))
     grid_pts = grid_ops.generate_point_grid(GRID_DENSITY)
     rcfg = refine_mod.RefineConfig(iters=CROP_ITERS,
-                                   surface_capacity=CROP_CAPACITY)
+                                   surface_capacity=CROP_CAPACITY,
+                                   warm_band=SHIP_WARM and CROP_CAPACITY,
+                                   warm_refresh=WARM_REFRESH)
     K = jnp.asarray(rast_mod.calibration_matrix((CROP, CROP)))
     refine_fn = refine_mod.make_refine_fn(decoder, rcfg, grid_pts, K,
                                           (CROP, CROP),
@@ -659,14 +669,13 @@ def main():
     variant = None
     if WARM_BAND:
         variant = f"warm_band={WARM_BAND},refresh={WARM_REFRESH}"
+    if EXACT:
+        variant = (variant + "," if variant else "") + "exact_selection"
     if SELECT_BF16:
         variant = (variant + "," if variant else "") + "select_bf16"
     if not SELECT_PALLAS:
         variant = (variant + "," if variant else "") + "xla_select"
     try:
-        if WARM_BAND:
-            raise RuntimeError(
-                f"flops/roofline accounting skipped for variant {variant}")
         print("# computing XLA cost analysis (CPU lowering)...",
               file=sys.stderr, flush=True)
         flops_iter, s1_flops = flops_per_iteration_subprocess()
@@ -677,8 +686,19 @@ def main():
     import jax as _jax
 
     pallas_default = SELECT_PALLAS and _jax.default_backend() == "tpu"
-    bytes_iter = (analytic_hbm_bytes_per_iteration(pallas_default)
-                  if flops_iter else None)
+    # Per-iteration useful work of the HEADLINE program. The shipping
+    # default is warm-band selection (QUALITY_r04-gated): refresh
+    # iterations pay the full stage-1 decode, the other (refresh-1)/refresh
+    # skip it — amortized FLOPs/bytes, same accounting bench_variants uses.
+    bytes_iter = None
+    if flops_iter:
+        if SHIP_WARM and s1_flops:
+            r = WARM_REFRESH
+            flops_iter = flops_iter - s1_flops * (r - 1) / r
+            s1b, s2b = analytic_hbm_parts(pallas_stage1=pallas_default)
+            bytes_iter = (s1b + r * s2b) / r
+        else:
+            bytes_iter = analytic_hbm_bytes_per_iteration(pallas_default)
     achieved_tflops = (
         flops_iter * iters_per_sec / 1e12 if flops_iter else None
     )
@@ -735,6 +755,8 @@ def main():
         "vs_torch_cpu": round(vs, 2),
         "select": ("pallas" if pallas_default else
                    ("bf16" if SELECT_BF16 else "xla")),
+        "band_selection": (f"warm_band={SHIP_WARM},refresh={WARM_REFRESH}"
+                           if SHIP_WARM else "exact"),
         **({"variant": variant} if variant else {}),
         **extras,
     }))

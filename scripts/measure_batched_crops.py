@@ -41,9 +41,16 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batches", default="1,2,4,8")
     ap.add_argument("--warm", type=int, default=0)
+    ap.add_argument("--block-px", type=int, default=0,
+                    help="splat pixel-block override (0 = kernel default)")
+    ap.add_argument("--chunk", type=int, default=0,
+                    help="splat point-chunk override (0 = kernel default)")
+    ap.add_argument("--auto-tiles", action="store_true",
+                    help="use refine_crops_batched's batch-aware tiles")
     args = ap.parse_args()
 
-    print(f"backend: {jax.default_backend()}  warm={args.warm}",
+    print(f"backend: {jax.default_backend()}  warm={args.warm} "
+          f"tiles={args.block_px}/{args.chunk} auto={args.auto_tiles}",
           file=sys.stderr, flush=True)
     dcfg = deepsdf.DeepSDFConfig(latent_size=3, dims=(512,) * 8,
                                  norm_layers=tuple(range(8)),
@@ -53,14 +60,23 @@ def main():
     select = None
     if jax.default_backend() == "tpu":
         select = mlp_pallas.pallas_select_fn(dcfg, params)
-    cfg = refine_mod.RefineConfig(iters=ITERS, surface_capacity=CAP,
-                                  warm_band=args.warm,
-                                  warm_refresh=10 if args.warm else 0)
+    base_cfg = refine_mod.RefineConfig(iters=ITERS, surface_capacity=CAP,
+                                       warm_band=args.warm,
+                                       warm_refresh=10 if args.warm else 0,
+                                       splat_block_px=args.block_px,
+                                       splat_chunk=args.chunk)
     grid_pts = np.asarray(grid_ops.generate_point_grid(GRID))
     K = np.asarray(rast_mod.calibration_matrix((CROP, CROP)))
 
     rng = np.random.RandomState(0)
+    import dataclasses
+
     for b in [int(x) for x in args.batches.split(",")]:
+        cfg = base_cfg
+        if args.auto_tiles:
+            px, ch = batched_refine.batch_tile_hints(b)
+            cfg = dataclasses.replace(base_cfg, splat_block_px=px,
+                                      splat_chunk=ch)
         fn = batched_refine.make_batched_refine(
             decoder, cfg, grid_pts, (CROP, CROP), select_decoder=select)
         p0 = jax.vmap(lambda i: refine_mod.init_refine_params(

@@ -47,11 +47,16 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
 import numpy as np  # noqa: E402
 
 VARIANTS = {
-    "exact": {"batched": False, "ini": {}},
-    "exact_batched": {"batched": True, "ini": {}},
+    # warm_band defaults ON since round 4 (this benchmark's own r4 result:
+    # mAP identical to exact) — the exact variants must disable it.
+    "exact": {"batched": False, "ini": {"warm_band": "0"}},
+    "exact_batched": {"batched": True, "ini": {"warm_band": "0"}},
     "warm_refresh10": {"batched": False,
                        "ini": {"warm_band": "8192", "warm_refresh": "10"}},
-    "coarse_to_fine": {"batched": False, "ini": {"coarse_cells": "1024"}},
+    "warm_batched": {"batched": True,
+                     "ini": {"warm_band": "8192", "warm_refresh": "10"}},
+    "coarse_to_fine": {"batched": False,
+                       "ini": {"warm_band": "0", "coarse_cells": "1024"}},
 }
 
 

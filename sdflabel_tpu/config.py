@@ -111,7 +111,15 @@ class RefineCfg:
     # candidate refresh every `warm_refresh` iterations, band top-k on the
     # `warm_band`-point candidate set in between. 0 = off (exact full-grid
     # selection each iteration, reference semantics).
-    warm_band: int = 0
+    # DEFAULT ON since round 4: the 60-frame autolabel-quality benchmark
+    # (QUALITY_r04.json, scripts/run_quality_benchmark.py) measured
+    # IDENTICAL KITTI + nuScenes mAP for warm refresh=10 vs the exact
+    # path at the full driver, and the warm path is 2.04x refinement
+    # rays/s / 1.5x crops-per-hour (BENCH_NOTES). The runtime clamps the
+    # pool to the grid size (warm_band effective = min(warm_band,
+    # grid_density^3)); set 0 to restore exact band semantics per
+    # iteration (bit-level reference behavior, same measured labels).
+    warm_band: int = 8192
     warm_refresh: int = 10
     # Crop-shape bucketing for the sequential driver path (TPU extension):
     # (h, w) rounds up to multiples of this and the crop letterboxes into

@@ -61,6 +61,13 @@ class RefineConfig:
     loss3d_threshold: float = 0.2  # optimizer.py:166
     loss2d_diam: float = 5.0  # optimizer.py:200
     loss2d_threshold: float = 1.0  # optimizer.py:200
+    # Fused-splat tile overrides (0 = ops.splat_pallas module defaults).
+    # The single-crop-optimal tiles (512 px / 512 pts) regress under
+    # vmapped multi-crop batching at B >= 4 (VMEM pressure, BENCH_NOTES
+    # "Batched multi-crop"); the batched driver passes batch-aware values
+    # (pipelines.refine_css.refine_crops_batched).
+    splat_block_px: int = 0
+    splat_chunk: int = 0
 
 
 class RefineParams(NamedTuple):
@@ -204,6 +211,7 @@ def make_refine_fn(
             K, (w, h), surf.points, surf.normals, surf.normals, pose,
             point_mask=surf.mask, rot="dcm", primitives="disc",
             output_nocs=True,
+            splat_block_px=cfg.splat_block_px, splat_chunk=cfg.splat_chunk,
         )
 
         l3d = losses.loss_3d(

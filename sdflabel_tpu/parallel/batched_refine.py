@@ -19,6 +19,22 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from sdflabel_tpu.engine import refine as refine_mod
 
 
+def batch_tile_hints(batch: int) -> tuple[int, int]:
+    """Batch-aware fused-splat tile sizes for vmapped refinement.
+
+    The single-crop-optimal tiles (512 px blocks / 512-pt chunks,
+    ops.splat_pallas) regress at B >= 4 under vmap — VMEM pressure in the
+    batched kernels (BENCH_NOTES "Batched multi-crop": B=8 was 0.95x).
+    Shrinking the point chunk halves the per-step VMEM footprint of the
+    batched splat without touching single-crop programs. Values from the
+    round-4 on-chip sweep (scripts/measure_batched_crops.py --block-px/
+    --chunk); (0, 0) = kernel defaults.
+    """
+    if batch >= 4:
+        return (256, 256)
+    return (0, 0)
+
+
 def make_batched_refine(
     sdf_decoder,
     cfg: refine_mod.RefineConfig,

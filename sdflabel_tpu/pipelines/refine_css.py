@@ -176,6 +176,17 @@ class RefineRuntime:
             coarse_cells if coarse_cells is not None
             else (getattr(cfg, "coarse_cells", 0) or None)
         )
+        # Warm-started band selection: the SHIPPING default since round 4
+        # (QUALITY_r04.json: mAP identical to the exact path at the full
+        # driver; 2.04x rays/s). Pool clamps to the grid size so small
+        # grid_density configs stay valid (min(pool, density^3) is always
+        # >= the surface capacity, which is itself <= density^3). An
+        # explicit coarse_cells setting wins — the two selection
+        # accelerations are mutually exclusive (engine.refine validates).
+        wb = getattr(cfg, "warm_band", 0) or 0
+        if self.coarse_cells:
+            wb = 0
+        self.warm_band = min(wb, cfg.grid_density ** 3) if wb else 0
         # RANSAC runs on a subsample of model/scene points: the inlier
         # scoring is H x N x M brute force on the MXU; 2048x2048 per
         # hypothesis matches KDTree-quality scoring at a fraction of the
@@ -267,7 +278,7 @@ class RefineRuntime:
                 weight_3d=self.cfg.weight_3d,
                 surface_capacity=self.surface_capacity,
                 coarse_cells=self.coarse_cells,
-                warm_band=getattr(self.cfg, "warm_band", 0),
+                warm_band=self.warm_band,
                 warm_refresh=getattr(self.cfg, "warm_refresh", 10),
             )
 
@@ -715,13 +726,15 @@ def refine_crops_batched(rt: RefineRuntime, sample: dict, preps: list,
 
     key = ("batched", bh, bw, pb, latent_dim)
     if key not in rt._refine_cache:
+        tile_px, tile_chunk = batched_refine.batch_tile_hints(pb)
         rcfg = refine_mod.RefineConfig(
             iters=rt.cfg.iters, weight_2d=rt.cfg.weight_2d,
             weight_3d=rt.cfg.weight_3d,
             surface_capacity=rt.surface_capacity,
             coarse_cells=rt.coarse_cells,
-            warm_band=getattr(rt.cfg, "warm_band", 0),
+            warm_band=rt.warm_band,
             warm_refresh=getattr(rt.cfg, "warm_refresh", 10),
+            splat_block_px=tile_px, splat_chunk=tile_chunk,
         )
         rt._refine_cache[key] = batched_refine.make_batched_refine(
             rt.decoder, rcfg, rt.grid_points, (bh, bw), mesh=None,

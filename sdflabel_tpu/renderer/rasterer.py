@@ -86,6 +86,8 @@ def render(
     output_nocs: bool = False,
     use_bg: bool = False,
     bg: jax.Array | None = None,
+    splat_block_px: int = 0,
+    splat_chunk: int = 0,
 ) -> tuple[Rendering, RenderedPoints]:
     """Render a point set. See Rasterer for the stateful wrapper.
 
@@ -147,8 +149,16 @@ def render(
         from sdflabel_tpu.ops import splat_pallas
 
         kinv_grid = splat_ops.kinv_pixel_rays(K, grid, dtype)
+        tile_kw = {}
+        # nonzero = explicit tile override (batched multi-crop refinement
+        # shrinks tiles; engine.refine.RefineConfig.splat_block_px)
+        if splat_block_px:
+            tile_kw["block_px"] = splat_block_px
+        if splat_chunk:
+            tile_kw["chunk"] = splat_chunk
         img = splat_pallas.surfel_composite(
             v3d, nrm, feats, kinv_grid, point_mask=point_mask, diam=0.04,
+            **tile_kw,
         )  # (P, 8)
     else:
         if primitives == "disc":

@@ -151,8 +151,10 @@ def test_config_parsing_reference_ini():
 def test_stock_configs_match_reference_semantics():
     """Our shipped configs/ mirror the reference's key-for-key: parsing
     ours and the reference's yields identical RefineCfg/TrainCfg (the TPU
-    extension knobs in ours sit at their reference-equivalent defaults,
-    except the deterministic seed which has no reference analogue)."""
+    extension knobs in ours sit at their framework defaults — which since
+    round 3/4 include select_pallas and warm_band ON, quality-gated by
+    QUALITY_r04.json — except the deterministic seed which has no
+    reference analogue)."""
     ours = configparser.ConfigParser()
     assert ours.read(os.path.join(REPO, "configs", "config_refine.ini"))
     ref = configparser.ConfigParser()
@@ -267,10 +269,10 @@ def test_latest_checkpoint_ignores_orbax_tmp_and_absolutizes(tmp_path,
 
 
 def test_fast_preset_config():
-    """configs/config_refine_fast.ini — the measured-fastest production
-    preset (BENCH_NOTES) — parses and lands its acceleration knobs:
-    identical to the stock refine config except warm-band selection
-    (pool == driver capacity, refresh 10) on top of the TPU defaults."""
+    """configs/config_refine_fast.ini — the explicit production preset —
+    parses and lands its acceleration knobs. Since round 4 the stock
+    config ships the same warm-band default (quality-gated,
+    QUALITY_r04.json); the preset differs only in viz_type = none."""
     fast = configparser.ConfigParser()
     assert fast.read(os.path.join(REPO, "configs", "config_refine_fast.ini"))
     cfg = cfg_mod.RefineCfg.from_ini(fast)
