@@ -595,6 +595,7 @@ def render_trajectory(rt: RefineRuntime, prep: dict, sample: dict, hist,
     h, w = prep["crop_hw"]
     K = jnp.asarray(prep["intrinsics"])
     written = []
+    last_corr = None  # final-iteration data for the interactive 3D export
     for it in sel:
         p = jax.tree.map(lambda x: jnp.asarray(x[it]), hist.params)
         # same latent normalization as the refinement iteration
@@ -643,6 +644,24 @@ def render_trajectory(rt: RefineRuntime, prep: dict, sample: dict, hist,
             )
             written.append(base + "_corr.png")
             publish(base + "_corr.png")
+            last_corr = (xyz, scene, idxs, dmin, ok, smask)
+    if viz_type == "3d" and last_corr is not None:
+        # Interactive analogue of the reference's Open3D correspondence
+        # window (visualizer.py:51-88): a self-contained orbitable HTML
+        # scene at the final re-rendered iteration (utils.viz3d).
+        from sdflabel_tpu.utils import viz3d
+
+        xyz, scene, idxs, dmin, ok, smask = last_corr
+        html = os.path.join(out_dir, f"{tag}scene3d.html")
+        viz3d.export_scene_html(
+            html,
+            model_points=xyz[ok],
+            scene_points=scene[smask],
+            correspondences={"a": xyz[ok], "b": scene[idxs[ok]],
+                             "heat": dmin[ok]},
+            title=f"correspondences {tag or 'crop'}",
+        )
+        written.append(html)
     return written
 
 
@@ -1037,12 +1056,24 @@ def refine_css_demo(cfgp, sample=None):
 
     # Headless stand-in for the reference's final Open3D view
     # (refine_css_demo.py:198 plot_3d_final): BEV schematic of the LIDAR
-    # with estimated (red) vs GT (green) cuboids, saved to the labels dir.
+    # with estimated (red) vs GT (green) cuboids, saved to the labels dir
+    # — PLUS the interactive single-file HTML scene (utils.viz3d), the
+    # orbitable analogue of the Open3D window itself.
     if cfg.viz_type and cfg.viz_type != "none":
-        from sdflabel_tpu.utils import viz
+        from sdflabel_tpu.utils import viz, viz3d
 
         os.makedirs(cfg.labels_out, exist_ok=True)
         n_est = len(frame_estimations.get("location", []))
+        box_keys = ("dimensions", "location", "rotation_y")
+        viz3d.export_scene_html(
+            os.path.join(cfg.labels_out, "demo_scene3d.html"),
+            lidar=sample.get("lidar", np.zeros((0, 3))),
+            est_boxes=[{k: frame_estimations[k][i] for k in box_keys}
+                       for i in range(n_est)],
+            gt_boxes=[{k: frame_annos[k][src] for k in box_keys}
+                      for src in est_anno_idx],
+            title="autolabels vs GT",
+        )
         for i in range(n_est):
             est = {k: frame_estimations[k][i]
                    for k in ("dimensions", "location", "rotation_y")}

@@ -357,6 +357,10 @@ def test_bundled_demo_end_to_end(tmp_path, monkeypatch):
     assert any(f.endswith("_patches.png") for f in viz_files)
     assert any(f.endswith("_corr.png") for f in viz_files)
     assert os.path.exists(os.path.join(out, "demo_bev_0.png"))
+    # interactive single-file 3D scenes (utils.viz3d): per-crop
+    # correspondence view + the final cuboids-vs-GT view
+    assert any(f.endswith("scene3d.html") for f in viz_files)
+    assert os.path.exists(os.path.join(out, "demo_scene3d.html"))
     # live-file mode ([visualization] live): stable latest_* paths were
     # published alongside the trajectory (the headless live-window analogue)
     live = os.path.join(out, "viz", "live")

@@ -339,3 +339,49 @@ def test_tpu_parity_gate_logic():
     rows = mod.gate(base, bad2)
     by = {r["row"]: r for r in rows}
     assert not by["select_band_overlap_top4096"]["pass"]
+
+
+def test_viz3d_scene_export(tmp_path):
+    """utils.viz3d: the interactive HTML export embeds a parseable scene
+    (layer structure, decimation cap) and cuboid_edges produces a
+    geometrically consistent 12-edge wireframe."""
+    import json
+    import re
+
+    from sdflabel_tpu.utils import viz3d
+
+    rng = np.random.RandomState(0)
+    path = str(tmp_path / "scene.html")
+    viz3d.export_scene_html(
+        path,
+        lidar=rng.randn(200000, 3),  # above the decimation cap
+        model_points=rng.randn(50, 3),
+        correspondences={"a": rng.randn(20, 3), "b": rng.randn(20, 3),
+                         "heat": np.linspace(0, 1, 20)},
+        est_boxes=[{"dimensions": [1.5, 1.6, 3.9],
+                    "location": [1.0, 1.7, 12.0], "rotation_y": 0.3}],
+    )
+    html = open(path).read()
+    m = re.search(r"const SCENE = (\{.*?\});\n", html, re.S)
+    assert m, "embedded scene JSON not found"
+    scene = json.loads(m.group(1))
+    names = [ly["name"] for ly in scene["layers"]]
+    assert names == ["lidar", "model", "correspondences", "est cuboids"]
+    assert len(scene["layers"][0]["pts"]) == 60000  # decimated
+    assert len(scene["layers"][2]["segs"]) == 20
+    assert len(scene["layers"][3]["segs"]) == 12  # one cuboid wireframe
+    assert max(scene["layers"][2]["heat"]) <= 1.0
+
+    # cuboid geometry: edge lengths of an axis-aligned box recover
+    # (w, h, l); rotation preserves them
+    for yaw in (0.0, 0.7):
+        edges = np.asarray(viz3d.cuboid_edges([1.5, 1.6, 3.9],
+                                              [1.0, 1.7, 12.0], yaw))
+        lengths = np.linalg.norm(edges[:, 0] - edges[:, 1], axis=1)
+        # 12 edges: 4 of each dimension
+        ls = np.sort(lengths)
+        np.testing.assert_allclose(ls[:4], 1.5, atol=1e-9)  # h verticals
+        np.testing.assert_allclose(ls[4:8], 1.6, atol=1e-9)  # w
+        np.testing.assert_allclose(ls[8:], 3.9, atol=1e-9)  # l
+        # bottom face sits at location y (bottom-center convention)
+        assert abs(np.max(edges[..., 1]) - 1.7) < 1e-9
