@@ -255,11 +255,23 @@ def test_refine_css_sequential_matches_batched(kitti_root, tmp_path,
     monkeypatch.setattr(pipeline, "finish_label", flaky_finish)
 
     results = {}
+    n_fetches = {}
     for batched, out in ((True, "lab_batched"), (False, "lab_seq")):
         cfgp.set("output", "labels", str(tmp_path / out))
         calls["n"] = 0
+        pipeline.reset_transfer_stats()
         _, results[batched] = pipeline.refine_css(cfgp, batched=batched)
         assert calls["n"] >= 2  # at least one skipped + one emitted label
+        n_fetches[batched] = pipeline.TRANSFER_STATS["fetches"]
+
+    # Structural round-trip gate (the driver's host<->device traffic is a
+    # measured budget, not an accident): the batched branch must stay at
+    # <= 4 synchronous fetches per crop — one CSS+surface fetch per crop
+    # plus one refine+label fetch per frame batch (pose init is stubbed
+    # here; the real RANSAC adds exactly one more per crop).
+    n_crops = sum(len(v["bbox"]) for v in results[True].values()) \
+        + 1  # + the label-skipped crop
+    assert n_fetches[True] <= 4 * n_crops, (n_fetches, n_crops)
 
     est_b, est_s = results[True], results[False]
     assert list(est_b.keys()) == list(est_s.keys())
