@@ -387,7 +387,10 @@ def bench_css_train():
     model = css_mod.CSSNet(use_running_average=False)
     variables = model.init(jax.random.PRNGKey(0), batch["rgb"])
     fused = css_train.default_fused_ce()
-    step = jax.jit(css_train.make_train_step(1e-3, fused_ce=fused))
+    # direct_ce: the shipping default since round 4 (TrainCfg.direct_ce,
+    # measured 1.13x at batch 13 — scripts/measure_direct_ce.py)
+    step = jax.jit(css_train.make_train_step(1e-3, fused_ce=fused,
+                                             direct_ce=True))
     state0 = css_train.init_train_state(
         jax.tree.map(jnp.asarray, variables), 1e-3)
 
@@ -401,7 +404,7 @@ def bench_css_train():
     dt = _timed(burst) / CSS_BURST
     return {"ms_per_step": round(dt * 1000, 2),
             "images_per_s": round(b / dt, 1),
-            "fused_ce": bool(fused)}
+            "fused_ce": bool(fused), "direct_ce": True}
 
 
 V5E_BF16_PEAK_TFLOPS = 197.0  # public v5e spec (bf16 MXU peak per chip)

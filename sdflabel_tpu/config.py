@@ -222,8 +222,12 @@ class TrainCfg:
     # idempotent, so train_css.py:70-74 computes each 256-channel tower
     # twice for the same loss/gradients — verified to 1e-10 in
     # test_direct_ce_mode); the dead model-side towers are eliminated
-    # from the compiled train step. OFF by default pending measurement.
-    direct_ce: bool = False
+    # from the compiled train step. DEFAULT ON since round 4: measured
+    # 1.13x at the reference batch 13 (36.14 -> 31.97 ms/step) and
+    # 1.11x at batch 52 on v5e (scripts/measure_direct_ce.py,
+    # BENCH_NOTES "Direct-CE"). Set False for the bit-level parity
+    # formulation (same objective either way).
+    direct_ce: bool = True
     epochs: int = 5000000
     lr: float = 0.001
     queue_size: int = 10

@@ -22,16 +22,16 @@ from sdflabel_tpu.engine import refine as refine_mod
 def batch_tile_hints(batch: int) -> tuple[int, int]:
     """Batch-aware fused-splat tile sizes for vmapped refinement.
 
-    The single-crop-optimal tiles (512 px blocks / 512-pt chunks,
-    ops.splat_pallas) regress at B >= 4 under vmap — VMEM pressure in the
-    batched kernels (BENCH_NOTES "Batched multi-crop": B=8 was 0.95x).
-    Shrinking the point chunk halves the per-step VMEM footprint of the
-    batched splat without touching single-crop programs. Values from the
-    round-4 on-chip sweep (scripts/measure_batched_crops.py --block-px/
-    --chunk); (0, 0) = kernel defaults.
+    Round-4 on-chip sweep result (scripts/measure_batched_crops.py
+    --block-px/--chunk, BENCH_NOTES "Batched tile sweep"): the B >= 4
+    regression (B=8 is ~0.96x per-crop vs B=1) is NOT tile/VMEM-bound —
+    chunk 256 moved it +0.5% (noise), block 256 and 256/256 made it
+    WORSE (-3 to -6%). The default tiles are already right under vmap;
+    the residual overhead is the batched scan's working-set growth, and
+    B=2 (+6%) remains the only single-chip batching win. This hook stays
+    as the measured seam (returns kernel defaults) so future sweeps have
+    a one-line landing site.
     """
-    if batch >= 4:
-        return (256, 256)
     return (0, 0)
 
 
