@@ -694,6 +694,8 @@ def main():
     # iterations pay the full stage-1 decode, the other (refresh-1)/refresh
     # skip it — amortized FLOPs/bytes, same accounting bench_variants uses.
     bytes_iter = None
+    flops_full = flops_iter  # UN-amortized: what bench_variants' exact/xla
+    # rows must account with (the headline below amortizes its own copy)
     if flops_iter:
         if SHIP_WARM and s1_flops:
             r = WARM_REFRESH
@@ -724,7 +726,7 @@ def main():
 
     extras = {}
     if not SKIP_EXTRAS and variant is None:
-        extras["variants"] = bench_variants(flops_iter, s1_flops)
+        extras["variants"] = bench_variants(flops_full, s1_flops)
         extras["crops_per_hour"] = bench_crops_per_hour()
         try:
             extras["driver_crop"] = bench_driver_crop()
