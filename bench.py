@@ -115,7 +115,7 @@ def _deepsdf_setup():
 
 
 def build_refine(select="default", warm_band=0, warm_refresh=10,
-                 iters=SCAN_ITERS, capacity=CAPACITY):
+                 iters=SCAN_ITERS, capacity=CAPACITY, coarse_cells=None):
     """Build a timed runner for one refinement program.
 
     select: 'default' (Pallas stage-1 on TPU — the shipping default),
@@ -147,7 +147,8 @@ def build_refine(select="default", warm_band=0, warm_refresh=10,
     rcfg = refine_mod.RefineConfig(iters=iters,
                                    surface_capacity=capacity,
                                    warm_band=warm_band,
-                                   warm_refresh=warm_refresh)
+                                   warm_refresh=warm_refresh,
+                                   coarse_cells=coarse_cells)
     K = jnp.asarray(rast_mod.calibration_matrix((CROP, CROP)))
     refine_fn = jax.jit(
         refine_mod.make_refine_fn(decoder, rcfg, grid_pts, K, (CROP, CROP),

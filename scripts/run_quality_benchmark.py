@@ -57,6 +57,11 @@ VARIANTS = {
                      "ini": {"warm_band": "8192", "warm_refresh": "10"}},
     "coarse_to_fine": {"batched": False,
                        "ini": {"warm_band": "0", "coarse_cells": "1024"}},
+    # composed: warm refresh through the c2f cell pass (2048 cells = 2x
+    # margin over the 8192 pool; grid.band_candidates(coarse_cells=...))
+    "warm_c2f_refresh": {"batched": False,
+                         "ini": {"warm_band": "8192", "warm_refresh": "10",
+                                 "coarse_cells": "2048"}},
 }
 
 

@@ -74,6 +74,10 @@ class RefineCfg:
     # the coarse-to-fine selection pass with that many coarse cells
     # (grid.surface_from_decoder; ~1.5x faster refinement, identical band
     # for trained decoders). TPU extension — no reference equivalent.
+    # COMPOSES with the warm_band default when the warm pool fits
+    # coarse_cells * 8 (the periodic candidate refresh then runs the c2f
+    # cell pass, ~4x less refresh decode; engine.refine); a smaller
+    # coarse pool disables warm and runs pure c2f.
     coarse_cells: int = 0
     pose_estimator: str = "kabsch"
     precision: str = "float16"

@@ -317,11 +317,43 @@ def band_candidates(
     latent: jax.Array,
     points: jax.Array,
     n_candidates: int,
+    coarse_cells: int | None = None,
+    coarse_factor: int = 2,
 ) -> jax.Array:
     """Full-grid selection pass returning the `n_candidates` indices with
     smallest |sdf| — the refresh step for warm-started band selection.
     Non-differentiable by construction (selection indices carry no
-    gradient, exactly like surface_from_decoder's stage 1)."""
+    gradient, exactly like surface_from_decoder's stage 1).
+
+    coarse_cells: COMPOSED refresh — run the coarse-to-fine cell pass
+    first (decode (d/factor)^3 cell corners, keep the `coarse_cells`
+    cells with smallest corner |sdf|) and take the candidate top-k within
+    those cells' points only. Cuts refresh decode work ~4x at grid 40
+    (8000 corners + cells*factor^3 points vs 64000). Same contract class
+    as surface_from_decoder(coarse_cells=...): identical candidate set
+    when the band fits the cell budget, a valid band subset otherwise.
+    Returned indices always index the FULL grid.
+    """
+    if coarse_cells is not None:
+        d = round(points.shape[0] ** (1.0 / 3.0))
+        if d**3 != points.shape[0]:
+            raise ValueError(f"points ({points.shape[0]}) is not a cube grid")
+        children = jnp.asarray(_cell_children_np(d, coarse_factor))
+        coarse_cells = min(coarse_cells, children.shape[0])
+        if n_candidates > coarse_cells * children.shape[1]:
+            raise ValueError(
+                f"n_candidates {n_candidates} exceeds coarse candidate "
+                f"pool {coarse_cells}*{children.shape[1]}"
+            )
+        reps = jnp.take(points, children[:, 0], axis=0)
+        sdf_rep = jax.lax.stop_gradient(
+            decoder_fn(latent, reps).reshape(-1))
+        _, cell_idx = jax.lax.top_k(-jnp.abs(sdf_rep), coarse_cells)
+        cand = jnp.take(children, cell_idx, axis=0).reshape(-1)
+        sdf_c = jax.lax.stop_gradient(
+            decoder_fn(latent, jnp.take(points, cand, axis=0)).reshape(-1))
+        _, idx = jax.lax.top_k(-jnp.abs(sdf_c), n_candidates)
+        return jnp.take(cand, idx)
     sdf_all = jax.lax.stop_gradient(decoder_fn(latent, points).reshape(-1))
     _, idx = jax.lax.top_k(-jnp.abs(sdf_all), n_candidates)
     return idx

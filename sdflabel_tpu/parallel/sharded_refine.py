@@ -136,8 +136,9 @@ def make_sharded_refine_fn(
                 f"{cfg.surface_capacity})")
         if cfg.coarse_cells is not None:
             raise ValueError(
-                "warm_band and coarse_cells are alternative selection "
-                "accelerations; enable at most one")
+                "the SHARDED path does not support the composed "
+                "warm_band + coarse_cells refresh (single-chip "
+                "engine.refine does); enable at most one here")
         if cfg.warm_refresh < 1:
             raise ValueError(
                 f"warm_refresh must be >= 1 (got {cfg.warm_refresh})")

@@ -180,12 +180,17 @@ class RefineRuntime:
         # (QUALITY_r04.json: mAP identical to the exact path at the full
         # driver; 2.04x rays/s). Pool clamps to the grid size so small
         # grid_density configs stay valid (min(pool, density^3) is always
-        # >= the surface capacity, which is itself <= density^3). An
-        # explicit coarse_cells setting wins — the two selection
-        # accelerations are mutually exclusive (engine.refine validates).
+        # >= the surface capacity, which is itself <= density^3).
+        # coarse_cells COMPOSES with warm when the warm pool fits the
+        # coarse candidate pool (the refresh then runs the c2f cell pass,
+        # engine.refine/grid.band_candidates); a coarse pool too small to
+        # hold the warm candidates means the user asked for aggressive
+        # c2f — warm turns off and the exact-branch c2f path serves.
         wb = getattr(cfg, "warm_band", 0) or 0
         if self.coarse_cells:
-            wb = 0
+            factor = 2  # RefineConfig.coarse_factor default
+            if wb > self.coarse_cells * factor**3:
+                wb = 0
         self.warm_band = min(wb, cfg.grid_density ** 3) if wb else 0
         # RANSAC runs on a subsample of model/scene points: the inlier
         # scoring is H x N x M brute force on the MXU; 2048x2048 per

@@ -263,11 +263,15 @@ def test_refinement_converges_on_synthetic_crop():
         refine.make_refine_fn(
             decoder, dataclasses.replace(cfg_ref, warm_band=16), grid_pts,
             K, crop_hw)
-    with pytest.raises(ValueError, match="at most one"):
-        refine.make_refine_fn(
-            decoder, dataclasses.replace(cfg_ref, warm_band=2048,
-                                         coarse_cells=600),
-            grid_pts, K, crop_hw)
+    # warm + coarse COMPOSE since round 4 (the refresh runs the c2f cell
+    # pass; test_composed_warm_coarse_refresh_matches_plain_warm) — but a
+    # coarse pool too small for the warm candidates is rejected at trace
+    fn_bad = refine.make_refine_fn(
+        decoder, dataclasses.replace(cfg_ref, warm_band=2048,
+                                     coarse_cells=100),
+        grid_pts, K, crop_hw)
+    with pytest.raises(ValueError, match="coarse candidate pool"):
+        fn_bad(*args)
 
 
 def test_loss_2d_windowed_matches_dense():
@@ -492,3 +496,76 @@ def test_on_device_extents_label_matches_host_path():
         assert abs(dev_label["alpha"] - host_label["alpha"]) < 1e-6
         checked += 1
     assert checked >= 2  # the comparison actually exercised valid bands
+
+
+def test_composed_warm_coarse_refresh_matches_plain_warm():
+    """warm_band + coarse_cells COMPOSE: the candidate refresh runs the
+    coarse-to-fine cell pass. For a well-behaved SDF whose band fits the
+    cell budget the refreshed candidate SET is identical, so the whole
+    trajectory matches plain warm exactly."""
+    import dataclasses
+
+    # smooth sphere-ish SDF with latent dependence (band ~ radius shell);
+    # the linear tilt breaks grid-symmetry |sdf| TIES at the top-k
+    # boundary — with ties, full-grid and cell-major candidate orders
+    # legitimately pick different (equally valid) boundary subsets
+    def decoder(latent, pts):
+        r = 0.55 + 0.1 * latent[0]
+        tilt = (0.0131 * pts[:, 0] + 0.0071 * pts[:, 1]
+                + 0.0043 * pts[:, 2])
+        return (jnp.linalg.norm(pts, axis=-1) - r + tilt).reshape(-1)
+
+    grid_pts = grid_ops.generate_point_grid(16)
+    K = jnp.asarray(rast_mod.calibration_matrix((24, 24)))
+    crop_hw = (24, 24)
+    rng = np.random.RandomState(0)
+    frustum = jnp.asarray(rng.randn(512, 3) * 0.3 + [0, 0, 4.0],
+                          jnp.float32)
+    fmask = jnp.ones((512,), bool)
+    nocs = jnp.asarray(rng.rand(3, 24, 24), jnp.float32)
+    init = refine.init_refine_params(0.3, [0.0, 0.0, 4.0], 2.0,
+                                    [1.0, 0.0, 0.0])
+    args = (init, nocs, frustum, fmask)
+
+    base = refine.RefineConfig(iters=12, surface_capacity=512,
+                               warm_band=512, warm_refresh=4)
+    # With margin in the cell budget (256 cells x 8 = 2048-pt pool for
+    # 512 candidates) the composed refresh picks the IDENTICAL candidate
+    # set (verified below); the trajectory then matches to fp reduction
+    # order (the candidate ORDER is cell-major vs grid-major).
+    composed = dataclasses.replace(base, coarse_cells=256)
+    # A tight budget (128 cells) may miss marginal band points — the
+    # documented c2f contract (valid band subset); trajectories stay
+    # close but not identical.
+    tight = dataclasses.replace(base, coarse_cells=128)
+
+    f_w, h_w = jax.jit(refine.make_refine_fn(decoder, base, grid_pts, K,
+                                             crop_hw))(*args)
+    f_c, h_c = jax.jit(refine.make_refine_fn(decoder, composed, grid_pts,
+                                             K, crop_hw))(*args)
+    f_t, h_t = jax.jit(refine.make_refine_fn(decoder, tight, grid_pts,
+                                             K, crop_hw))(*args)
+    np.testing.assert_allclose(np.asarray(h_c.loss),
+                               np.asarray(h_w.loss), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(f_c), jax.tree.leaves(f_w)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5)
+    np.testing.assert_allclose(np.asarray(h_t.loss),
+                               np.asarray(h_w.loss), rtol=2e-2)
+    for a, b in zip(jax.tree.leaves(f_t), jax.tree.leaves(f_w)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-3)
+
+    # candidate-level check: with margin, composed refresh == full
+    # refresh as a SET
+    lat = jnp.asarray([1.0, 0.0, 0.0])
+    full = np.sort(np.asarray(grid_ops.band_candidates(
+        decoder, lat, grid_pts, 512)))
+    comp = np.sort(np.asarray(grid_ops.band_candidates(
+        decoder, lat, grid_pts, 512, coarse_cells=256)))
+    np.testing.assert_array_equal(full, comp)
+
+    # pool-overflow validation
+    with pytest.raises(ValueError, match="coarse candidate pool"):
+        grid_ops.band_candidates(decoder, lat, grid_pts, 512,
+                                 coarse_cells=32)
