@@ -83,6 +83,10 @@ WARM_REFRESH = int(os.environ.get("BENCH_WARM_REFRESH", "10"))
 # shipping warm pool at the headline protocol (== CAPACITY; the INI's
 # 8192 clamps to the surface capacity by the same pool==capacity rule)
 SHIP_WARM = 0 if EXACT else (WARM_BAND or CAPACITY)
+# composed refresh cells at the headline protocol (pool 4096 -> 1024
+# cells = 2x margin; the INI default 2048 serves the 8192 crop pool).
+# BENCH_WARM_CELLS=0 forces the plain full-grid refresh.
+SHIP_CELLS = 0 if EXACT else int(os.environ.get("BENCH_WARM_CELLS", "1024"))
 SKIP_EXTRAS = bool(int(os.environ.get("BENCH_SKIP_EXTRAS", "0")))
 
 
@@ -115,7 +119,8 @@ def _deepsdf_setup():
 
 
 def build_refine(select="default", warm_band=0, warm_refresh=10,
-                 iters=SCAN_ITERS, capacity=CAPACITY, coarse_cells=None):
+                 iters=SCAN_ITERS, capacity=CAPACITY, coarse_cells=None,
+                 warm_refresh_cells=None):
     """Build a timed runner for one refinement program.
 
     select: 'default' (Pallas stage-1 on TPU — the shipping default),
@@ -148,7 +153,8 @@ def build_refine(select="default", warm_band=0, warm_refresh=10,
                                    surface_capacity=capacity,
                                    warm_band=warm_band,
                                    warm_refresh=warm_refresh,
-                                   coarse_cells=coarse_cells)
+                                   coarse_cells=coarse_cells,
+                                   warm_refresh_cells=warm_refresh_cells)
     K = jnp.asarray(rast_mod.calibration_matrix((CROP, CROP)))
     refine_fn = jax.jit(
         refine_mod.make_refine_fn(decoder, rcfg, grid_pts, K, (CROP, CROP),
@@ -176,7 +182,8 @@ def bench_ours():
     sel = "bf16" if SELECT_BF16 else ("default" if SELECT_PALLAS
                                       else "xla")
     run = build_refine(select=sel, warm_band=SHIP_WARM,
-                       warm_refresh=WARM_REFRESH)
+                       warm_refresh=WARM_REFRESH,
+                       warm_refresh_cells=SHIP_CELLS or None)
     # progress to stderr (stdout is reserved for the one JSON line); the
     # remote axon compile of the full scanned program is 300-500 s cold
     print("# compiling (cold remote compile can take ~5-8 min)...",
@@ -237,8 +244,10 @@ def bench_crops_per_hour():
     default path and the best variant (warm band)."""
     out = {}
     for name, kw in (
-        # shipping default since round 4: warm pool == capacity
-        ("default_warm", dict(select="default", warm_band=CROP_CAPACITY)),
+        # shipping default since round 4: warm pool == capacity with the
+        # composed (c2f-cell) refresh
+        ("default_warm", dict(select="default", warm_band=CROP_CAPACITY,
+                              warm_refresh_cells=2048)),
         ("exact", dict(select="default")),
     ):
         try:
@@ -298,7 +307,10 @@ def bench_driver_crop():
     rcfg = refine_mod.RefineConfig(iters=CROP_ITERS,
                                    surface_capacity=CROP_CAPACITY,
                                    warm_band=SHIP_WARM and CROP_CAPACITY,
-                                   warm_refresh=WARM_REFRESH)
+                                   warm_refresh=WARM_REFRESH,
+                                   warm_refresh_cells=(
+                                       2048 if SHIP_WARM and SHIP_CELLS
+                                       else None))
     K = jnp.asarray(rast_mod.calibration_matrix((CROP, CROP)))
     refine_fn = refine_mod.make_refine_fn(decoder, rcfg, grid_pts, K,
                                           (CROP, CROP),
@@ -700,9 +712,18 @@ def main():
     if flops_iter:
         if SHIP_WARM and s1_flops:
             r = WARM_REFRESH
-            flops_iter = flops_iter - s1_flops * (r - 1) / r
+            s1_refresh = s1_flops
             s1b, s2b = analytic_hbm_parts(pallas_stage1=pallas_default)
-            bytes_iter = (s1b + r * s2b) / r
+            s1b_refresh = s1b
+            if SHIP_CELLS:
+                # composed refresh decodes (d/2)^3 corners + cells*8
+                # points instead of the full d^3 grid
+                ratio = ((GRID_DENSITY // 2) ** 3 + SHIP_CELLS * 8) \
+                    / GRID_DENSITY ** 3
+                s1_refresh *= ratio
+                s1b_refresh *= ratio
+            flops_iter = flops_iter - s1_flops + s1_refresh / r
+            bytes_iter = (s1b_refresh + r * s2b) / r
         else:
             bytes_iter = analytic_hbm_bytes_per_iteration(pallas_default)
     achieved_tflops = (
@@ -761,8 +782,10 @@ def main():
         "vs_torch_cpu": round(vs, 2),
         "select": ("pallas" if pallas_default else
                    ("bf16" if SELECT_BF16 else "xla")),
-        "band_selection": (f"warm_band={SHIP_WARM},refresh={WARM_REFRESH}"
-                           if SHIP_WARM else "exact"),
+        "band_selection": (
+            f"warm_band={SHIP_WARM},refresh={WARM_REFRESH}"
+            + (f",refresh_cells={SHIP_CELLS}" if SHIP_CELLS else "")
+            if SHIP_WARM else "exact"),
         **({"variant": variant} if variant else {}),
         **extras,
     }))

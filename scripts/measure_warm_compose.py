@@ -6,7 +6,7 @@ stage-1 cost. Two candidate reductions, both quality-gateable on the
 suite (scripts/run_quality_benchmark.py):
 
   compose   refresh through the coarse-to-fine cell pass
-            (grid.band_candidates(coarse_cells=...)): 8000 corners +
+            (grid.band_candidates cell pass): 8000 corners +
             cells*8 points instead of 64000.
   refresh20 halve the refresh frequency.
 
@@ -40,10 +40,10 @@ def main():
         # margin budget = 2x pool/8 cells
         ("warm r10 (default)", dict(warm_band=bench.CAPACITY)),
         ("warm r10 + c2f 1024", dict(warm_band=bench.CAPACITY,
-                                     coarse_cells=1024)),
+                                     warm_refresh_cells=1024)),
         ("warm r20", dict(warm_band=bench.CAPACITY, warm_refresh=20)),
         ("warm r20 + c2f 1024", dict(warm_band=bench.CAPACITY,
-                                     warm_refresh=20, coarse_cells=1024)),
+                                     warm_refresh=20, warm_refresh_cells=1024)),
         # crop protocol (60 iters, capacity 8192, pool 8192; cells 2048 =
         # 2x margin)
         ("crop60 warm r10", dict(warm_band=bench.CROP_CAPACITY,
@@ -51,7 +51,7 @@ def main():
                                  capacity=bench.CROP_CAPACITY)),
         ("crop60 warm r10 + c2f 2048",
          dict(warm_band=bench.CROP_CAPACITY, iters=bench.CROP_ITERS,
-              capacity=bench.CROP_CAPACITY, coarse_cells=2048)),
+              capacity=bench.CROP_CAPACITY, warm_refresh_cells=2048)),
     ]
     rows = []
     for label, kw in combos:

@@ -52,16 +52,19 @@ VARIANTS = {
     "exact": {"batched": False, "ini": {"warm_band": "0"}},
     "exact_batched": {"batched": True, "ini": {"warm_band": "0"}},
     "warm_refresh10": {"batched": False,
-                       "ini": {"warm_band": "8192", "warm_refresh": "10"}},
+                       "ini": {"warm_band": "8192", "warm_refresh": "10",
+                               "warm_refresh_cells": "0"}},
     "warm_batched": {"batched": True,
-                     "ini": {"warm_band": "8192", "warm_refresh": "10"}},
+                     "ini": {"warm_band": "8192", "warm_refresh": "10",
+                             "warm_refresh_cells": "0"}},
     "coarse_to_fine": {"batched": False,
                        "ini": {"warm_band": "0", "coarse_cells": "1024"}},
     # composed: warm refresh through the c2f cell pass (2048 cells = 2x
-    # margin over the 8192 pool; grid.band_candidates(coarse_cells=...))
+    # margin over the 8192 pool; grid.band_candidates) — the round-4
+    # SHIPPING default
     "warm_c2f_refresh": {"batched": False,
                          "ini": {"warm_band": "8192", "warm_refresh": "10",
-                                 "coarse_cells": "2048"}},
+                                 "warm_refresh_cells": "2048"}},
 }
 
 

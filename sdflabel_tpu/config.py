@@ -125,6 +125,14 @@ class RefineCfg:
     # iteration (bit-level reference behavior, same measured labels).
     warm_band: int = 8192
     warm_refresh: int = 10
+    # Composed refresh (round 4): the warm candidate refresh runs through
+    # the coarse-to-fine CELL pass with this many cells instead of the
+    # full grid — measured +9.4% refinement rays/s (BENCH_NOTES "Composed
+    # warm"), quality-gated mAP-identical on the suite (QUALITY_r04). The
+    # runtime clamps to the cell count and falls back to a full-grid
+    # refresh when the warm pool wouldn't fit cells*8. 0 = full-grid
+    # refresh (plain warm).
+    warm_refresh_cells: int = 2048
     # Crop-shape bucketing for the sequential driver path (TPU extension):
     # (h, w) rounds up to multiples of this and the crop letterboxes into
     # the bucket with a pixel validity mask — exactly equivalent rendering
@@ -183,6 +191,10 @@ class RefineCfg:
             ),
             warm_refresh=read_cfg_int(
                 cfgp, "optimization", "warm_refresh", cls.warm_refresh
+            ),
+            warm_refresh_cells=read_cfg_int(
+                cfgp, "optimization", "warm_refresh_cells",
+                cls.warm_refresh_cells
             ),
             render_bucket=read_cfg_int(
                 cfgp, "optimization", "render_bucket", cls.render_bucket

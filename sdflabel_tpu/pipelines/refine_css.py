@@ -180,18 +180,26 @@ class RefineRuntime:
         # (QUALITY_r04.json: mAP identical to the exact path at the full
         # driver; 2.04x rays/s). Pool clamps to the grid size so small
         # grid_density configs stay valid (min(pool, density^3) is always
-        # >= the surface capacity, which is itself <= density^3).
-        # coarse_cells COMPOSES with warm when the warm pool fits the
-        # coarse candidate pool (the refresh then runs the c2f cell pass,
-        # engine.refine/grid.band_candidates); a coarse pool too small to
-        # hold the warm candidates means the user asked for aggressive
-        # c2f — warm turns off and the exact-branch c2f path serves.
+        # >= the surface capacity, which is itself <= density^3). An
+        # explicit coarse_cells setting wins (pure coarse-to-fine; the
+        # engine keeps the per-iteration paths mutually exclusive).
         wb = getattr(cfg, "warm_band", 0) or 0
         if self.coarse_cells:
-            factor = 2  # RefineConfig.coarse_factor default
-            if wb > self.coarse_cells * factor**3:
-                wb = 0
+            wb = 0
         self.warm_band = min(wb, cfg.grid_density ** 3) if wb else 0
+        # Composed refresh ([optimization] warm_refresh_cells): the warm
+        # candidate refresh runs through the c2f CELL pass (+9.4% rays/s
+        # measured, quality-gated — BENCH_NOTES "Composed warm"). Clamped
+        # to the cell count; falls back to full-grid refresh when the
+        # warm pool wouldn't fit the cell pool (small grids).
+        wrc = getattr(cfg, "warm_refresh_cells", 0) or 0
+        if wrc and self.warm_band:
+            factor = 8  # coarse_factor=2 -> 2^3 children per cell
+            n_cells = (cfg.grid_density // 2) ** 3
+            wrc = min(wrc, n_cells)
+            if self.warm_band > wrc * factor:
+                wrc = 0
+        self.warm_refresh_cells = wrc or None
         # RANSAC runs on a subsample of model/scene points: the inlier
         # scoring is H x N x M brute force on the MXU; 2048x2048 per
         # hypothesis matches KDTree-quality scoring at a fraction of the
@@ -285,6 +293,7 @@ class RefineRuntime:
                 coarse_cells=self.coarse_cells,
                 warm_band=self.warm_band,
                 warm_refresh=getattr(self.cfg, "warm_refresh", 10),
+                warm_refresh_cells=self.warm_refresh_cells,
             )
 
             def fn(params0, K_arr, nocs, fr, fm, pm=None):
@@ -758,6 +767,7 @@ def refine_crops_batched(rt: RefineRuntime, sample: dict, preps: list,
             coarse_cells=rt.coarse_cells,
             warm_band=rt.warm_band,
             warm_refresh=getattr(rt.cfg, "warm_refresh", 10),
+            warm_refresh_cells=rt.warm_refresh_cells,
             splat_block_px=tile_px, splat_chunk=tile_chunk,
         )
         rt._refine_cache[key] = batched_refine.make_batched_refine(

@@ -263,12 +263,16 @@ def test_refinement_converges_on_synthetic_crop():
         refine.make_refine_fn(
             decoder, dataclasses.replace(cfg_ref, warm_band=16), grid_pts,
             K, crop_hw)
-    # warm + coarse COMPOSE since round 4 (the refresh runs the c2f cell
-    # pass; test_composed_warm_coarse_refresh_matches_plain_warm) — but a
-    # coarse pool too small for the warm candidates is rejected at trace
+    with pytest.raises(ValueError, match="at most one"):
+        refine.make_refine_fn(
+            decoder, dataclasses.replace(cfg_ref, warm_band=2048,
+                                         coarse_cells=600),
+            grid_pts, K, crop_hw)
+    # composed refresh (warm_refresh_cells) with a pool too small for
+    # the warm candidates is rejected at trace
     fn_bad = refine.make_refine_fn(
         decoder, dataclasses.replace(cfg_ref, warm_band=2048,
-                                     coarse_cells=100),
+                                     warm_refresh_cells=100),
         grid_pts, K, crop_hw)
     with pytest.raises(ValueError, match="coarse candidate pool"):
         fn_bad(*args)
@@ -533,11 +537,11 @@ def test_composed_warm_coarse_refresh_matches_plain_warm():
     # 512 candidates) the composed refresh picks the IDENTICAL candidate
     # set (verified below); the trajectory then matches to fp reduction
     # order (the candidate ORDER is cell-major vs grid-major).
-    composed = dataclasses.replace(base, coarse_cells=256)
+    composed = dataclasses.replace(base, warm_refresh_cells=256)
     # A tight budget (128 cells) may miss marginal band points — the
     # documented c2f contract (valid band subset); trajectories stay
     # close but not identical.
-    tight = dataclasses.replace(base, coarse_cells=128)
+    tight = dataclasses.replace(base, warm_refresh_cells=128)
 
     f_w, h_w = jax.jit(refine.make_refine_fn(decoder, base, grid_pts, K,
                                              crop_hw))(*args)
