@@ -44,9 +44,13 @@ cfg = deepsdf.DeepSDFConfig(
 params = deepsdf.init_params(cfg, jax.random.PRNGKey(0))
 decoder = deepsdf.sdf_fn(cfg, params)
 select = None if VARIANT == "xla" else mlp_pallas.pallas_select_fn(cfg, params)
-warm = CAP if VARIANT == "warm" else 0
+# 'warm' = plain warm pool==capacity; 'ship' = the round-4 shipping
+# default (warm + composed c2f refresh, 1024 cells at this pool)
+warm = CAP if VARIANT in ("warm", "ship") else 0
 rcfg = refine_mod.RefineConfig(iters=ITERS, surface_capacity=CAP,
-                               warm_band=warm)
+                               warm_band=warm,
+                               warm_refresh_cells=(
+                                   1024 if VARIANT == "ship" else None))
 K = jnp.asarray(rast_mod.calibration_matrix((CROP, CROP)))
 fn = jax.jit(refine_mod.make_refine_fn(
     decoder, rcfg, grid_ops.generate_point_grid(GRID), K, (CROP, CROP),

@@ -65,6 +65,11 @@ VARIANTS = {
     "warm_c2f_refresh": {"batched": False,
                          "ini": {"warm_band": "8192", "warm_refresh": "10",
                                  "warm_refresh_cells": "2048"}},
+    # refresh=20 candidate (measured +3% over r10+c2f): gated separately
+    # because it doubles the staleness window
+    "warm_r20_c2f": {"batched": False,
+                     "ini": {"warm_band": "8192", "warm_refresh": "20",
+                             "warm_refresh_cells": "2048"}},
 }
 
 
