@@ -70,6 +70,10 @@ VARIANTS = {
     "warm_r20_c2f": {"batched": False,
                      "ini": {"warm_band": "8192", "warm_refresh": "20",
                              "warm_refresh_cells": "2048"}},
+    # the EXACT shipping combination: batched driver dispatch + every
+    # config default (warm + composed refresh + pallas select) — no
+    # overrides at all
+    "ship_default": {"batched": True, "ini": {}},
 }
 
 

@@ -193,7 +193,9 @@ class RefineRuntime:
         # to the cell count; falls back to full-grid refresh when the
         # warm pool wouldn't fit the cell pool (small grids).
         wrc = getattr(cfg, "warm_refresh_cells", 0) or 0
-        if wrc and self.warm_band:
+        if not self.warm_band:
+            wrc = 0  # composition only exists on the warm path
+        if wrc:
             factor = 8  # coarse_factor=2 -> 2^3 children per cell
             n_cells = (cfg.grid_density // 2) ** 3
             wrc = min(wrc, n_cells)

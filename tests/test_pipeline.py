@@ -366,3 +366,41 @@ def test_bundled_demo_end_to_end(tmp_path, monkeypatch):
     live = os.path.join(out, "viz", "live")
     assert os.path.exists(os.path.join(live, "latest_patches.png"))
     assert os.path.exists(os.path.join(live, "latest_corr.png"))
+
+
+def test_runtime_warm_compose_policy(synthetic_world):
+    """RefineRuntime's selection-acceleration policy: the stock defaults
+    compose (warm pool + c2f refresh, both clamped to the grid), explicit
+    coarse_cells wins over warm, and odd small grids where the warm pool
+    cannot fit the cell pool fall back to a full-grid refresh."""
+    dsdf_cfg, dsdf_params, _sample, _anno, _gt, _ = synthetic_world
+
+    def rt_for(**kw):
+        cfg = cfg_mod.RefineCfg(**kw)
+        return SyntheticRuntime(cfg, dsdf_cfg, dsdf_params, oracle={},
+                                surface_capacity=64)
+
+    # stock defaults at reference grid density: composed
+    rt = rt_for(grid_density=40)
+    assert rt.warm_band == 8192
+    assert rt.warm_refresh_cells == 2048
+
+    # small even grid: pool clamps to d^3, cells to (d/2)^3 — still fits
+    rt = rt_for(grid_density=12)
+    assert rt.warm_band == 12 ** 3
+    assert rt.warm_refresh_cells == 6 ** 3  # 1728 == 216 * 8 exactly
+
+    # odd grid where (d//2)^3 * 8 < d^3: full-grid refresh fallback
+    rt = rt_for(grid_density=15)
+    assert rt.warm_band == 15 ** 3
+    assert rt.warm_refresh_cells is None
+
+    # explicit coarse_cells disables warm entirely (pure c2f path)
+    rt = rt_for(grid_density=40, coarse_cells=1024)
+    assert rt.warm_band == 0
+    assert rt.coarse_cells == 1024
+
+    # warm_band = 0 restores exact semantics (no warm, no compose)
+    rt = rt_for(grid_density=40, warm_band=0)
+    assert rt.warm_band == 0
+    assert rt.warm_refresh_cells is None
