@@ -114,6 +114,10 @@ def make_sharded_refine_fn(
     inside a lax.cond whose predicate is the (replicated) loop counter —
     every chip takes the same branch, so the branch collectives stay
     SPMD-coherent. Warm iterations pay only the sharded stage-2 decode.
+    cfg.warm_refresh_cells additionally composes the refresh with the
+    sharded coarse-cell pass (stage-0 corners + surviving cells' children
+    instead of the full grid), mirroring engine.refine's composed
+    refresh; the grid is then laid out cell-major at build time.
 
     select_decoder: optional cheaper decoder for the NON-differentiable
     selection passes only (stage 0/1 and the warm refresh) — e.g.
@@ -128,6 +132,12 @@ def make_sharded_refine_fn(
     p_total = h * w
     p_pad = _round_up(p_total, n_dev)
     use_warm = cfg.warm_band > 0
+    # Composed refresh (cfg.warm_refresh_cells, round 4): the periodic
+    # warm refresh runs the coarse-to-fine CELL pass (sharded stage-0 +
+    # the shared select_band tail) instead of the full grid-sharded
+    # stage-1 — the distributed twin of engine.refine's composition.
+    warm_cells = (cfg.warm_refresh_cells
+                  if use_warm and cfg.warm_refresh_cells else None)
     if use_warm:
         if cfg.warm_band != cfg.surface_capacity:
             raise ValueError(
@@ -136,9 +146,9 @@ def make_sharded_refine_fn(
                 f"{cfg.surface_capacity})")
         if cfg.coarse_cells is not None:
             raise ValueError(
-                "the SHARDED path does not support the composed "
-                "warm_band + coarse_cells refresh (single-chip "
-                "engine.refine does); enable at most one here")
+                "warm_band and coarse_cells are alternative per-iteration "
+                "selection accelerations; enable at most one (the "
+                "composed refresh is warm_refresh_cells)")
         if cfg.warm_refresh < 1:
             raise ValueError(
                 f"warm_refresh must be >= 1 (got {cfg.warm_refresh})")
@@ -152,7 +162,9 @@ def make_sharded_refine_fn(
     n_grid = len(grid_np)
     cap = cfg.surface_capacity
 
-    if cfg.coarse_cells is not None:
+    cells_budget = (cfg.coarse_cells if cfg.coarse_cells is not None
+                    else warm_cells)
+    if cells_budget is not None:
         from sdflabel_tpu.ops.grid import _cell_children_np
 
         d = round(n_grid ** (1.0 / 3.0))
@@ -168,13 +180,15 @@ def make_sharded_refine_fn(
         )
         g_pad = nc_pad * r3
         cells_local = nc_pad // n_dev
-        kc_local = min(-(-min(cfg.coarse_cells, n_cells) // n_dev),
+        kc_local = min(-(-min(cells_budget, n_cells) // n_dev),
                        cells_local)
         local_cap = min(cap, kc_local * r3)
         if n_dev * local_cap < cap:
+            knob = ("coarse_cells" if cfg.coarse_cells is not None
+                    else "warm_refresh_cells")
             raise ValueError(
                 f"capacity {cap} exceeds the sharded coarse candidate pool "
-                f"{n_dev}x{local_cap}; raise coarse_cells"
+                f"{n_dev}x{local_cap}; raise {knob}"
             )
     else:
         g_pad = _round_up(n_grid, n_dev)
@@ -225,6 +239,25 @@ def make_sharded_refine_fn(
         all_pts = jax.lax.all_gather(cand_pts, axis).reshape(-1, 3)
         _, sel = jax.lax.top_k(all_neg, cap)
         return jnp.take(all_pts, sel, axis=0)
+
+    if warm_cells is not None:
+        def cell_refresh(latent, grid_block):
+            """Composed warm refresh: sharded stage-0 cell pass, then the
+            shared select_band tail on the surviving cells' children —
+            the distributed twin of engine.refine's composed refresh
+            (grid.band_candidates(coarse_cells=...))."""
+            blk = grid_block.reshape(-1, r3, 3)  # (cells_local, r^3, 3)
+            sdf_rep = jax.lax.stop_gradient(
+                sel_dec(latent, blk[:, 0]).reshape(-1))
+            score_rep = jnp.where(blk[:, 0, 0] < 10.0,
+                                  -jnp.abs(sdf_rep), -jnp.inf)
+            _, cell_idx = jax.lax.top_k(score_rep, kc_local)
+            cand_grid = jnp.take(blk, cell_idx, axis=0).reshape(-1, 3)
+            return select_band(latent, cand_grid)
+
+        refresh_band = cell_refresh
+    else:
+        refresh_band = select_band
 
     def iteration(params, css_flat, grid_block, rc_block,
                   pxv_block, frustum, fmask, pts_warm):
@@ -435,7 +468,7 @@ def make_sharded_refine_fn(
                     jnp.maximum(n2, 1e-24))
                 pts_warm = jax.lax.cond(
                     it % cfg.warm_refresh == 0,
-                    lambda p: select_band(lat, grid_block),
+                    lambda p: refresh_band(lat, grid_block),
                     lambda p: p,
                     pts_warm,
                 )

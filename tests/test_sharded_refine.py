@@ -367,3 +367,35 @@ def test_sharded_odd_sizes_match_single_device():
                                    err_msg=f"windowed={windowed}")
         np.testing.assert_allclose(np.asarray(final_m.trans),
                                    np.asarray(final_s.trans), atol=1e-2)
+
+
+def test_sharded_composed_warm_refresh_matches(problem):
+    """Composed warm refresh on the mesh (warm_refresh_cells): the
+    periodic refresh runs the sharded cell pass; with budget margin the
+    trajectory tracks plain sharded warm. Overflowing pools raise with
+    the right knob name."""
+    import dataclasses
+
+    (decoder, cfg, grid_pts, K, crop_hw, nocs, frustum, fmask,
+     init) = problem
+    mesh = mesh_mod.make_mesh(n_data=1, n_rays=8)
+    cfg_w = dataclasses.replace(cfg, iters=5,
+                                warm_band=cfg.surface_capacity,
+                                warm_refresh=3)
+    plain_fn = sharded_refine.make_sharded_refine_fn(
+        decoder, cfg_w, np.asarray(grid_pts), K, crop_hw, mesh,
+        axis="rays")
+    _, hist_plain = plain_fn(init, nocs, frustum, fmask)
+
+    cfg_c = dataclasses.replace(cfg_w, warm_refresh_cells=600)
+    comp_fn = sharded_refine.make_sharded_refine_fn(
+        decoder, cfg_c, np.asarray(grid_pts), K, crop_hw, mesh,
+        axis="rays")
+    _, hist_comp = comp_fn(init, nocs, frustum, fmask)
+    np.testing.assert_allclose(np.asarray(hist_comp),
+                               np.asarray(hist_plain), rtol=1e-3)
+
+    with pytest.raises(ValueError, match="warm_refresh_cells"):
+        sharded_refine.make_sharded_refine_fn(
+            decoder, dataclasses.replace(cfg_w, warm_refresh_cells=8),
+            np.asarray(grid_pts), K, crop_hw, mesh, axis="rays")
