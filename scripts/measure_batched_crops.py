@@ -47,6 +47,8 @@ def main():
                     help="splat point-chunk override (0 = kernel default)")
     ap.add_argument("--auto-tiles", action="store_true",
                     help="use refine_crops_batched's batch-aware tiles")
+    ap.add_argument("--refresh-cells", type=int, default=0,
+                    help="composed warm refresh cell budget (0 = full)")
     args = ap.parse_args()
 
     print(f"backend: {jax.default_backend()}  warm={args.warm} "
@@ -63,6 +65,8 @@ def main():
     base_cfg = refine_mod.RefineConfig(iters=ITERS, surface_capacity=CAP,
                                        warm_band=args.warm,
                                        warm_refresh=10 if args.warm else 0,
+                                       warm_refresh_cells=(
+                                           args.refresh_cells or None),
                                        splat_block_px=args.block_px,
                                        splat_chunk=args.chunk)
     grid_pts = np.asarray(grid_ops.generate_point_grid(GRID))
