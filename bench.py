@@ -722,8 +722,17 @@ def main():
                     / GRID_DENSITY ** 3
                 s1_refresh *= ratio
                 s1b_refresh *= ratio
-            flops_iter = flops_iter - s1_flops + s1_refresh / r
-            bytes_iter = (s1b_refresh + r * s2b) / r
+            # EVERY warm iteration also decodes the warm_band candidate
+            # pool through stage 1 (surface_from_candidates) to re-rank
+            # the band — count that per-iteration, not just the periodic
+            # refresh decode (round-4 advisor finding).
+            pool_ratio = min(WARM_BAND, GRID_DENSITY ** 3) \
+                / GRID_DENSITY ** 3
+            pool_flops = s1_flops * pool_ratio
+            pool_bytes = s1b * pool_ratio
+            flops_iter = (flops_iter - s1_flops + pool_flops
+                          + s1_refresh / r)
+            bytes_iter = pool_bytes + (s1b_refresh + r * s2b) / r
         else:
             bytes_iter = analytic_hbm_bytes_per_iteration(pallas_default)
     achieved_tflops = (

@@ -195,6 +195,12 @@ class RefineRuntime:
         wrc = getattr(cfg, "warm_refresh_cells", 0) or 0
         if not self.warm_band:
             wrc = 0  # composition only exists on the warm path
+        if cfg.grid_density % 2 != 0:
+            # The cell pass partitions the grid into coarse_factor=2
+            # children; an odd density has no such partition
+            # (grid._cell_children_np raises). Fall back to full-grid
+            # refresh, same as the small-grid case.
+            wrc = 0
         if wrc:
             factor = 8  # coarse_factor=2 -> 2^3 children per cell
             n_cells = (cfg.grid_density // 2) ** 3
@@ -274,7 +280,8 @@ class RefineRuntime:
         subclass provides an oracle CSS (tests) — css_forward overrides
         keep working, they just pay the second dispatch."""
         if (self.css_variables is not None
-                and type(self).css_forward is RefineRuntime.css_forward):
+                and type(self).css_forward is RefineRuntime.css_forward
+                and "css_forward" not in vars(self)):
             return self._css_surface(self.css_variables,
                                      jnp.asarray(crop_rgb[None]))
         pred = self.css_forward(crop_rgb)

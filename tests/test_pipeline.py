@@ -395,6 +395,14 @@ def test_runtime_warm_compose_policy(synthetic_world):
     assert rt.warm_band == 15 ** 3
     assert rt.warm_refresh_cells is None
 
+    # odd grid >= 23 where the pool-size guard alone would PASS
+    # (8192 <= (25//2)^3 * 8 = 13824) but the cell pass cannot partition
+    # an odd density — must fall back to full-grid refresh rather than
+    # crash at trace time in _cell_children_np (round-4 advisor finding)
+    rt = rt_for(grid_density=25)
+    assert rt.warm_band == 8192
+    assert rt.warm_refresh_cells is None
+
     # explicit coarse_cells disables warm entirely (pure c2f path)
     rt = rt_for(grid_density=40, coarse_cells=1024)
     assert rt.warm_band == 0
