@@ -153,8 +153,10 @@ def make_render_fns(decoder):
 
 def render_car(render_fns, latent, yaw, scale, trans_cam, pad=6):
     """Render one car's NOCS appearance; returns crop box, NOCS image,
-    mask, and camera-frame visible surface points (make_demo_assets'
-    render_gt generalized to arbitrary pose/shape)."""
+    mask, camera-frame visible surface points, metric per-pixel depth of
+    the crop, and the UNCLAMPED projected extents (for the v2 truncation
+    fraction) — make_demo_assets' render_gt generalized to arbitrary
+    pose/shape."""
     surface_fn, render_fn = render_fns
     surf, _ = surface_fn(jnp.asarray(latent))
 
@@ -168,6 +170,11 @@ def render_car(render_fns, latent, yaw, scale, trans_cam, pad=6):
     cam_pts = (rot @ model_pts.T).T + t
     u = cam_pts[:, 0] / cam_pts[:, 2] * FOCAL + CX
     v = cam_pts[:, 1] / cam_pts[:, 2] * FOCAL + CY
+    # TIGHT projected extents (no pad): the v2 GT bbox + truncation
+    # fraction — KITTI GT boxes are tight; the padded window below is
+    # only the render/paste crop.
+    full_uv = (float(u.min()), float(v.min()),
+               float(u.max()), float(v.max()))
     l = max(int(u.min()) - pad, 0)
     r = min(int(u.max()) + pad, IMG_W - 1)
     t_ = max(int(v.min()) - pad, 0)
@@ -182,8 +189,9 @@ def render_car(render_fns, latent, yaw, scale, trans_cam, pad=6):
                                   surf.mask, pose)
     nocs = np.asarray(rendering.color)[:, :ch, :cw]
     mask = np.asarray(rendering.mask)[0, :ch, :cw] > 0.5
+    depth = np.asarray(rendering.depth)[0, :ch, :cw] * scale  # metric
     vis_cam = np.asarray(points.xyz)[np.asarray(points.front_mask)] * scale
-    return (l, t_, r, b), nocs, mask, vis_cam
+    return (l, t_, r, b), nocs, mask, vis_cam, depth, full_uv
 
 
 def sample_objects(rng, n_obj):
@@ -243,7 +251,7 @@ def build_frame(decoder, render_fns, rng, frame_idx):
                        obj["trans"])
         if r is None:
             continue
-        crop_box, nocs, mask, vis_cam = r
+        crop_box, nocs, mask, vis_cam, _depth, _full_uv = r
         l, t_, rr, b = crop_box
         rgb = np.transpose(nocs, (1, 2, 0))
         image[t_:b, l:rr][mask] = rgb[..., ::-1][mask]  # store as BGR
@@ -287,6 +295,264 @@ def build_frame(decoder, render_fns, rng, frame_idx):
     return image, lidar_cam.astype(np.float32), annos, full_nocs, full_mask
 
 
+# ----------------------- v2: discriminative conditions -----------------------
+# Round-5 suite (VERDICT r4 #1): the v1 suite saturated every AP metric
+# (1-3 disjoint near cars, no occlusion/truncation, difficulties=[0]); a
+# gate that cannot fail cannot gate. v2 adds stressors along the axes the
+# perf variants could plausibly degrade, with REAL KITTI occluded/
+# truncated GT flags so difficulties 0-2 are all populated (the
+# evaluator's clean_kitti_data thresholds: occl<=0/trunc<=.15/h>=40px
+# easy; occl<=1/trunc<=.30/h>=25 moderate; occl<=2/trunc<=.50/h>=25 hard
+# — reference detection_3d.py:871-985).
+
+V2_TREE = "data/quality_suite_v2"
+V2_CONDITIONS = ("clean", "occluded", "truncated", "distant", "sparse",
+                 "hard_mix")
+
+
+def _car(rng, z_lo, z_hi, x_frac=0.55):
+    shape_idx = rng.randint(len(SHAPES))
+    latent, half = SHAPES[shape_idx]
+    scale = rng.uniform(1.9, 2.1)
+    z = rng.uniform(z_lo, z_hi)
+    x = rng.uniform(-x_frac, x_frac) * z
+    return {"shape_idx": shape_idx, "latent": latent, "half": half,
+            "scale": scale, "yaw": rng.uniform(-np.pi, np.pi),
+            "trans": np.array([x, GROUND_Y - half[1] * scale, z])}
+
+
+def _proj_box(obj):
+    """Conservative projected box from the bounding sphere."""
+    half, scale = obj["half"], obj["scale"]
+    x, _, z = obj["trans"]
+    rad = float(np.linalg.norm(half)) * scale
+    u0 = FOCAL * x / z + CX
+    v0 = FOCAL * (obj["trans"][1]) / z + CY
+    du = FOCAL * rad / z
+    return (u0 - du, v0 - du, u0 + du, v0 + du)
+
+
+def _in_image(box, margin=4):
+    return (box[0] >= margin and box[2] <= IMG_W - margin
+            and box[1] >= margin and box[3] <= IMG_H - margin)
+
+
+def _disjoint(box, boxes, gap=8):
+    return all(box[2] + gap < b[0] or b[2] + gap < box[0]
+               or box[3] + gap < b[1] or b[3] + gap < box[1]
+               for b in boxes)
+
+
+def _occluded_pair(rng, z_lo, z_hi):
+    """A front car and a rear car whose projected boxes overlap by a
+    controlled fraction — the rear car gets a real occlusion flag from
+    the pasted masks (kept under the loader's 95%-subsumption ignore
+    heuristic)."""
+    for _ in range(60):
+        front = _car(rng, z_lo, z_hi, x_frac=0.4)
+        fb = _proj_box(front)
+        if not _in_image(fb):
+            continue
+        rear = _car(rng, front["trans"][2] + 2.6,
+                    front["trans"][2] + 4.5, x_frac=0.4)
+        rb0 = _proj_box(rear)
+        # aim the rear car so the boxes overlap by ~f of their half-width
+        f = rng.uniform(0.15, 0.55)
+        du_f = (fb[2] - fb[0]) / 2
+        du_r = (rb0[2] - rb0[0]) / 2
+        sign = 1 if rng.rand() < 0.5 else -1
+        uc_front = (fb[0] + fb[2]) / 2
+        uc_rear = uc_front + sign * (du_f + du_r) * (1.0 - f)
+        z_r = rear["trans"][2]
+        rear["trans"][0] = (uc_rear - CX) * z_r / FOCAL
+        rb = _proj_box(rear)
+        if not _in_image(rb):
+            continue
+        return [front, rear]
+    return []
+
+
+def _truncated_car(rng):
+    """A car crossing the left or right image edge by a controlled
+    fraction (target truncation 0.15-0.45 — moderate/hard tiers)."""
+    for _ in range(60):
+        obj = _car(rng, 9.0, 13.0)
+        box = _proj_box(obj)
+        du = (box[2] - box[0]) / 2
+        fo = rng.uniform(0.18, 0.45)  # fraction outside
+        side = 1 if rng.rand() < 0.5 else -1
+        if side > 0:
+            uc = (IMG_W - 1) - du * (1.0 - 2.0 * fo)
+        else:
+            uc = du * (1.0 - 2.0 * fo)
+        z = obj["trans"][2]
+        obj["trans"][0] = (uc - CX) * z / FOCAL
+        box = _proj_box(obj)
+        if box[1] < 4 or box[3] > IMG_H - 4:
+            continue
+        return obj
+    return None
+
+
+def sample_objects_v2(rng, condition):
+    """Condition-specific placements + LIDAR spec. Returns (objs, spec)."""
+    spec = {"keep": 3500, "noise": 0.008, "ground": 8000}
+    if condition == "clean":
+        return sample_objects(rng, rng.randint(1, 4)), spec
+    if condition == "sparse":
+        spec = {"keep": 500, "noise": 0.03, "ground": 2500}
+        return sample_objects(rng, rng.randint(1, 4)), spec
+    if condition == "occluded":
+        return _occluded_pair(rng, 8.5, 11.5), spec
+    if condition == "truncated":
+        objs = []
+        tc = _truncated_car(rng)
+        if tc is not None:
+            objs.append(tc)
+        # plus one clean car with a disjoint box when it fits
+        boxes = [_proj_box(o) for o in objs]
+        for _ in range(40):
+            extra = _car(rng, 10.0, 13.5)
+            b = _proj_box(extra)
+            if _in_image(b) and _disjoint(b, boxes):
+                objs.append(extra)
+                break
+        return objs, spec
+    if condition == "distant":
+        objs = []
+        boxes = []
+        n = rng.randint(1, 3)
+        for _ in range(80):
+            if len(objs) >= n:
+                break
+            obj = _car(rng, 20.0, 25.0)
+            b = _proj_box(obj)
+            if _in_image(b) and _disjoint(b, boxes):
+                objs.append(obj)
+                boxes.append(b)
+        return objs, spec
+    if condition == "hard_mix":
+        spec = {"keep": 900, "noise": 0.02, "ground": 4000}
+        objs = _occluded_pair(rng, 10.5, 13.0)
+        boxes = [_proj_box(o) for o in objs]
+        for _ in range(60):
+            obj = _car(rng, 19.0, 24.0)
+            b = _proj_box(obj)
+            if _in_image(b) and _disjoint(b, boxes):
+                objs.append(obj)
+                break
+        return objs, spec
+    raise ValueError(condition)
+
+
+def build_frame_v2(decoder, render_fns, rng, condition):
+    """Multi-object scene with inter-object occlusion: renders every car,
+    pastes far-to-near over an owner/depth buffer, LIDAR-occludes rear
+    cars against the buffer, and writes REAL truncated/occluded GT."""
+    objs, spec = sample_objects_v2(rng, condition)
+    if not objs:
+        return None
+
+    rendered = []
+    for obj in objs:
+        r = render_car(render_fns, obj["latent"], obj["yaw"],
+                       obj["scale"], obj["trans"])
+        if r is not None:
+            rendered.append((obj, r))
+    if not rendered:
+        return None
+
+    image = rng.uniform(0.25, 0.45, (IMG_H, IMG_W, 3)).astype(np.float32)
+    full_nocs = np.zeros((3, IMG_H, IMG_W), np.float32)
+    full_mask = np.zeros((IMG_H, IMG_W), bool)
+    owner = np.full((IMG_H, IMG_W), -1, np.int32)
+    zbuf = np.full((IMG_H, IMG_W), np.inf, np.float32)
+    n_own = {}
+
+    order = sorted(range(len(rendered)),
+                   key=lambda i: -rendered[i][0]["trans"][2])
+    for i in order:
+        _obj, (crop_box, nocs, mask, _vis, depth, _uv) = rendered[i]
+        l, t_, rr, b = crop_box
+        rgb = np.transpose(nocs, (1, 2, 0))
+        image[t_:b, l:rr][mask] = rgb[..., ::-1][mask]  # store as BGR
+        full_nocs[:, t_:b, l:rr][:, mask] = np.transpose(rgb[mask], (1, 0))
+        full_mask[t_:b, l:rr] |= mask
+        owner[t_:b, l:rr][mask] = i
+        zbuf[t_:b, l:rr][mask] = depth[mask]
+        n_own[i] = int(mask.sum())
+
+    lidar_parts = []
+    annos = []
+    grid_pts = grid_ops.generate_point_grid(40)
+    for i, (obj, r) in enumerate(rendered):
+        crop_box, nocs, mask, vis_cam, depth, full_uv = r
+        hidden = 1.0 - float((owner == i).sum()) / max(n_own[i], 1)
+        occl = (0 if hidden <= 0.05 else
+                1 if hidden <= 0.45 else
+                2 if hidden <= 0.80 else 3)
+        u0, v0, u1, v1 = full_uv
+        full_area = max((u1 - u0) * (v1 - v0), 1e-6)
+        vis_w = max(min(u1, IMG_W - 1.0) - max(u0, 0.0), 0.0)
+        vis_h = max(min(v1, IMG_H - 1.0) - max(v0, 0.0), 0.0)
+        trunc = float(np.clip(1.0 - vis_w * vis_h / full_area, 0.0, 1.0))
+        # v2 GT bbox: TIGHT projected box clamped to the image (the
+        # evaluator's height tiers and the reference's difficulty
+        # predicates read this; a padded box would misclassify distant
+        # cars as easy)
+        tight_box = (int(max(u0, 0)), int(max(v0, 0)),
+                     int(min(u1, IMG_W - 1)), int(min(v1, IMG_H - 1)))
+
+        # LIDAR: this car's visible surface, minus rays blocked by a
+        # NEARER car (depth-buffer test at the projected pixel)
+        u = vis_cam[:, 0] / vis_cam[:, 2] * FOCAL + CX
+        v = vis_cam[:, 1] / vis_cam[:, 2] * FOCAL + CY
+        ui = np.clip(np.round(u).astype(np.int64), 0, IMG_W - 1)
+        vi = np.clip(np.round(v).astype(np.int64), 0, IMG_H - 1)
+        in_img = (u >= 0) & (u < IMG_W) & (v >= 0) & (v < IMG_H)
+        unblocked = zbuf[vi, ui] > vis_cam[:, 2] - 0.5
+        pts = vis_cam[~in_img | unblocked]
+        if len(pts):
+            keep = rng.permutation(len(pts))[: min(len(pts), spec["keep"])]
+            lidar_parts.append(
+                pts[keep] + rng.randn(len(keep), 3) * spec["noise"])
+
+        label, _scaled, _cam_t = labels_mod.get_kitti_label(
+            decoder, grid_pts, obj["latent"], np.array([obj["scale"]]),
+            obj["trans"] / obj["scale"], np.array([obj["yaw"]]),
+            np.eye(4), np.asarray(tight_box), capacity=CAPACITY)
+        if label is None:
+            continue
+        annos.append({
+            "bbox": tight_box,
+            "location": [float(x) for x in label["location"]],
+            "dimensions": [float(x) for x in label["dimensions"]],
+            "rotation_y": float(label["rotation_y"]),
+            "alpha": float(label["alpha"]),
+            "latent": obj["latent"],
+            "truncated": round(trunc, 3),
+            "occluded": occl,
+        })
+
+    if not annos or not lidar_parts:
+        return None
+
+    ng = spec["ground"]
+    ground = np.stack([
+        rng.uniform(-12, 12, ng),
+        np.full(ng, GROUND_Y) + rng.randn(ng) * 0.01,
+        rng.uniform(4.0, 27.0, ng),
+    ], 1)
+    nc = max(ng // 4, 500)
+    clutter = np.stack([
+        rng.uniform(-12, 12, nc),
+        rng.uniform(-1.2, GROUND_Y, nc),
+        rng.uniform(18.0, 28.0, nc),
+    ], 1)
+    lidar_cam = np.concatenate(lidar_parts + [ground, clutter])
+    return image, lidar_cam.astype(np.float32), annos, full_nocs, full_mask
+
+
 def write_kitti_frame(root, name, image, lidar_cam, annos):
     """Write one frame in the real KITTI layout the loader parses."""
     import cv2
@@ -322,8 +588,11 @@ def write_kitti_frame(root, name, image, lidar_cam, annos):
         l, t_, r, b = a["bbox"]
         h, w, ln = a["dimensions"]
         x, y, z = a["location"]
+        trunc = a.get("truncated", 0.0)
+        occl = a.get("occluded", 0)
         rows.append(
-            f"Car 0.00 0 {a['alpha']:.4f} {l:.2f} {t_:.2f} {r:.2f} {b:.2f} "
+            f"Car {trunc:.2f} {occl} {a['alpha']:.4f} "
+            f"{l:.2f} {t_:.2f} {r:.2f} {b:.2f} "
             f"{h:.4f} {w:.4f} {ln:.4f} {x:.4f} {y:.4f} {z:.4f} "
             f"{a['rotation_y']:.4f}")
     with open(os.path.join(training, "label_2", f"{name}.txt"), "w") as f:
@@ -409,17 +678,61 @@ def train_css(frames_meta, width=16, steps=4000, batch=8, jitter=3):
     return {"params": params, "batch_stats": batch_stats}
 
 
+def _difficulty_counts(frames_meta):
+    """GT tier composition as the loader's predicates see it
+    (data.kitti.is_anno_{easy,moderate,hard})."""
+    from sdflabel_tpu.data import kitti as kitti_mod
+
+    counts = {"easy": 0, "moderate_extra": 0, "hard_extra": 0, "beyond": 0}
+    for _name, annos, _n, _m in frames_meta:
+        for a in annos:
+            aa = dict(a)
+            aa.setdefault("truncated", 0.0)
+            aa.setdefault("occluded", 0)
+            if kitti_mod.is_anno_easy(aa):
+                counts["easy"] += 1
+            elif kitti_mod.is_anno_moderate(aa):
+                counts["moderate_extra"] += 1
+            elif kitti_mod.is_anno_hard(aa):
+                counts["hard_extra"] += 1
+            else:
+                counts["beyond"] += 1
+    return counts
+
+
 def main():
+    global TREE
+
     ap = argparse.ArgumentParser()
-    ap.add_argument("--frames", type=int, default=60)
-    ap.add_argument("--css-steps", type=int, default=4000)
+    ap.add_argument("--profile", choices=("v1", "v2"), default="v1",
+                    help="v1: the round-4 saturated suite (kept "
+                         "reproducible); v2: discriminative round-5 "
+                         "conditions (occlusion/truncation/distance/"
+                         "sparse LIDAR, difficulties 0-2)")
+    ap.add_argument("--frames", type=int, default=0,
+                    help="0 = profile default (v1: 60, v2: 72)")
+    ap.add_argument("--css-steps", type=int, default=0,
+                    help="0 = profile default (v1: 4000, v2: 6000)")
     ap.add_argument("--fit-steps", type=int, default=3500)
-    ap.add_argument("--css-width", type=int, default=16)
+    ap.add_argument("--css-width", type=int, default=0,
+                    help="0 = profile default (v1: 16, v2: 24)")
+    ap.add_argument("--weak-steps", type=int, default=0,
+                    help="also train an undertrained WEAK CSS with this "
+                         "many steps (v2 degraded-CSS condition; "
+                         "suggested 800)")
     ap.add_argument("--skip-fit", action="store_true",
                     help="reuse committed deepsdf_quality.pt")
     ap.add_argument("--skip-css", action="store_true",
-                    help="reuse committed css_quality.msgpack")
+                    help="reuse committed css_quality*.msgpack")
     args = ap.parse_args()
+
+    v2 = args.profile == "v2"
+    if v2:
+        TREE = V2_TREE
+    n_frames = args.frames or (72 if v2 else 60)
+    css_steps = args.css_steps or (6000 if v2 else 4000)
+    css_width = args.css_width or (24 if v2 else 16)
+    suffix = "_v2" if v2 else ""
 
     os.makedirs(NETS, exist_ok=True)
     training = os.path.join(TREE, "training")
@@ -437,14 +750,20 @@ def main():
         deepsdf.save_torch_checkpoint(dsdf_base + ".pt", dcfg, dparams)
     decoder = deepsdf.sdf_fn(dcfg, dparams)
 
-    print(f"generating {args.frames} frames ...", flush=True)
+    print(f"generating {n_frames} frames ({args.profile}) ...", flush=True)
     render_fns = make_render_fns(decoder)
     rng = np.random.RandomState(SEED + 2)
     frames_meta = []
     names = []
+    conditions = {}
     fi = 0
-    while len(names) < args.frames:
-        out = build_frame(decoder, render_fns, rng, fi)
+    while len(names) < n_frames:
+        if v2:
+            condition = V2_CONDITIONS[len(names) % len(V2_CONDITIONS)]
+            out = build_frame_v2(decoder, render_fns, rng, condition)
+        else:
+            condition = "clean"
+            out = build_frame(decoder, render_fns, rng, fi)
         fi += 1
         if out is None:
             continue
@@ -452,6 +771,7 @@ def main():
         name = f"{len(names):06d}"
         write_kitti_frame(TREE, name, image, lidar_cam, annos)
         frames_meta.append((name, annos, full_nocs, full_mask))
+        conditions[name] = condition
         names.append(name)
         if len(names) % 10 == 0:
             n_obj = sum(len(m[1]) for m in frames_meta)
@@ -460,19 +780,34 @@ def main():
               "w") as f:
         f.write("\n".join(names) + "\n")
     n_obj = sum(len(m[1]) for m in frames_meta)
-    print(f"suite: {len(names)} frames, {n_obj} objects", flush=True)
+    diff_counts = _difficulty_counts(frames_meta)
+    print(f"suite: {len(names)} frames, {n_obj} objects, "
+          f"difficulty tiers {diff_counts}", flush=True)
 
-    css_path = os.path.join(NETS, "css_quality.msgpack")
+    from sdflabel_tpu.pipelines.train_css import save_checkpoint
+
+    css_path = os.path.join(NETS, f"css_quality{suffix}.msgpack")
     if not (args.skip_css and os.path.exists(css_path)):
         print("training the suite CSSNet ...", flush=True)
-        css_vars = train_css(frames_meta, width=args.css_width,
-                             steps=args.css_steps)
-        from sdflabel_tpu.pipelines.train_css import save_checkpoint
-
+        css_vars = train_css(frames_meta, width=css_width,
+                             steps=css_steps)
         save_checkpoint(css_path, css_vars)
 
-    meta = {"frames": len(names), "objects": n_obj, "seed": SEED,
-            "img_hw": [IMG_H, IMG_W], "css_width": args.css_width,
+    weak_path = os.path.join(NETS, f"css_quality{suffix}_weak.msgpack")
+    if args.weak_steps:
+        print(f"training the WEAK CSSNet ({args.weak_steps} steps) ...",
+              flush=True)
+        weak_vars = train_css(frames_meta, width=css_width,
+                              steps=args.weak_steps)
+        save_checkpoint(weak_path, weak_vars)
+
+    meta = {"profile": args.profile, "frames": len(names),
+            "objects": n_obj, "seed": SEED,
+            "img_hw": [IMG_H, IMG_W], "css_width": css_width,
+            "difficulty_tiers": diff_counts,
+            "conditions": conditions,
+            "weak_css": (f"css_quality{suffix}_weak.msgpack"
+                         if args.weak_steps else None),
             "shapes": [{"latent": s[0].tolist(), "half": s[1].tolist()}
                        for s in SHAPES]}
     with open(os.path.join(TREE, "suite_meta.json"), "w") as f:

@@ -1,29 +1,36 @@
-"""Autolabel-QUALITY benchmark: full-driver mAP per perf variant.
+"""Autolabel-QUALITY benchmark: full-driver mAP + sub-AP diagnostics.
 
 Runs the COMPLETE `--refine` driver (CSS forward -> surface decode ->
 RANSAC init -> 60-iter refinement -> KITTI label -> in-process KITTI +
-nuScenes evaluation; reference pipelines/refine_css.py:26-263) on the
+nuScenes evaluation; reference pipelines/refine_css.py:26-263) on a
 synthetic multi-frame KITTI-format suite (scripts/make_quality_suite.py)
-under each throughput variant, and records per-variant mAP + wall time in
-one JSON artifact (QUALITY_r{N}.json).
+under each throughput variant, and records per-variant mAP + per-object
+error distributions + wall time in one JSON artifact (QUALITY_r{N}.json).
 
 This is the gate the perf variants ship through: a variant whose measured
-mAP matches the exact path within noise is safe to make the shipping
-default; one that degrades quality is recorded as rejected, with numbers.
+quality matches the exact path within noise is safe to make the shipping
+default; one that degrades is recorded as rejected, with numbers.
 
-Variants:
-  exact           stock config semantics (full-grid band selection each
-                  iteration), sequential per-crop refinement
-  exact_batched   same semantics, all of a frame's crops in one vmapped
-                  program (the driver's default dispatch mode)
-  warm_refresh10  warm-started band selection at the fast-preset setting
-                  (warm_band == capacity 8192, refresh 10) — the measured
-                  2.04x rays/s variant (BENCH_NOTES)
-  coarse_to_fine  coarse-to-fine selection, 1024 of 8000 cells (the
-                  measured-optimal budget, BENCH_NOTES)
+Round-5 changes (VERDICT r4 #1/#2):
+  * suite v2 (--suite data/quality_suite_v2): occlusion / truncation /
+    distance / sparse-LIDAR conditions with real KITTI GT flags;
+    difficulties 0-2 all evaluated (reference detection_3d.py:871-985).
+  * sub-AP diagnostics: per-object 3D IoU / translation / |dyaw| (honest
+    RADIANS, wrapped to [0, pi]) distributions, pi-flip counts, per-
+    condition miss counts — resolution below a saturating AP. NOTE the
+    evaluator's `aoe_dist` output is AP-style x100-scaled (get_mAP
+    multiplies by 100), NOT radians.
+  * degraded-CSS variants (css=weak: the undertrained suite net) and
+    [stress] init-perturbation variants making the warm-band STALENESS
+    axis adversarial (long trajectories -> stale candidate pools).
 
-Usage: python scripts/run_quality_benchmark.py [--out QUALITY.json]
-         [--suite data/quality_suite] [--variants exact,warm_refresh10,...]
+Metric blindness (measured r4, why diagnostics exist): a pi yaw flip is
+INVISIBLE to every AP (BEV rectangles are pi-symmetric) and to AOS
+(unless alpha flips too); only AOE and the |dyaw| distribution see it.
+
+Usage: python scripts/run_quality_benchmark.py --suite data/quality_suite_v2
+         [--out QUALITY.json] [--variants exact,warm_r10,...]
+         [--difficulties 0,1,2]
 """
 
 import argparse
@@ -46,48 +53,57 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
 
 import numpy as np  # noqa: E402
 
+# Stress setting: ~25 deg yaw kick + 0.6 m translation + 12% scale + 0.35
+# latent sigma forces the refinement to travel far from init — the
+# adversarial regime for a stale warm candidate pool.
+STRESS_INI = {"init_yaw_deg": "25", "init_trans_m": "0.6",
+              "init_scale_frac": "0.12", "init_latent_sigma": "0.35"}
+
+W10 = {"warm_band": "8192", "warm_refresh": "10",
+       "warm_refresh_cells": "2048"}
+W20 = {"warm_band": "8192", "warm_refresh": "20",
+       "warm_refresh_cells": "2048"}
+EXACT = {"warm_band": "0"}
+
 VARIANTS = {
-    # warm_band defaults ON since round 4 (this benchmark's own r4 result:
-    # mAP identical to exact) — the exact variants must disable it.
-    "exact": {"batched": False, "ini": {"warm_band": "0"}},
-    "exact_batched": {"batched": True, "ini": {"warm_band": "0"}},
-    "warm_refresh10": {"batched": False,
-                       "ini": {"warm_band": "8192", "warm_refresh": "10",
-                               "warm_refresh_cells": "0"}},
-    "warm_batched": {"batched": True,
-                     "ini": {"warm_band": "8192", "warm_refresh": "10",
-                             "warm_refresh_cells": "0"}},
-    "coarse_to_fine": {"batched": False,
+    # core semantics axis (all batched — r4 measured batched==sequential
+    # mAP-identical; exact_seq kept as the cross-check row)
+    "exact": {"batched": True, "ini": EXACT},
+    "exact_seq": {"batched": False, "ini": EXACT},
+    "warm_r10": {"batched": True,
+                 "ini": {**W10, "warm_refresh_cells": "0"}},
+    "warm_r10_c2f": {"batched": True, "ini": W10},
+    "warm_r20_c2f": {"batched": True, "ini": W20},
+    "coarse_to_fine": {"batched": True,
                        "ini": {"warm_band": "0", "coarse_cells": "1024"}},
-    # composed: warm refresh through the c2f cell pass (2048 cells = 2x
-    # margin over the 8192 pool; grid.band_candidates) — the round-4
-    # SHIPPING default
-    "warm_c2f_refresh": {"batched": False,
-                         "ini": {"warm_band": "8192", "warm_refresh": "10",
-                                 "warm_refresh_cells": "2048"}},
-    # refresh=20 candidate (measured +3% over r10+c2f): gated separately
-    # because it doubles the staleness window
-    "warm_r20_c2f": {"batched": False,
-                     "ini": {"warm_band": "8192", "warm_refresh": "20",
-                             "warm_refresh_cells": "2048"}},
-    # the EXACT shipping combination: batched driver dispatch + every
-    # config default (warm + composed refresh + pallas select) — no
-    # overrides at all
+    # the EXACT shipping combination: every config default, no overrides
     "ship_default": {"batched": True, "ini": {}},
+    # degraded-CSS axis: the undertrained suite net (worse init + worse
+    # NOCS target) — does warm staleness interact with a bad start?
+    "exact_weak": {"batched": True, "ini": EXACT, "css": "weak"},
+    "warm_r10_weak": {"batched": True, "ini": W10, "css": "weak"},
+    "warm_r20_weak": {"batched": True, "ini": W20, "css": "weak"},
+    # stress axis: perturbed init, long trajectories
+    "exact_stress": {"batched": True, "ini": EXACT, "stress": True},
+    "warm_r10_stress": {"batched": True, "ini": W10, "stress": True},
+    "warm_r20_stress": {"batched": True, "ini": W20, "stress": True},
 }
+
+DIFF_NAMES = {0: "easy", 1: "moderate", 2: "hard"}
 
 
 def build_cfgp(suite: str, nets: str, labels_out: str, extra: dict,
-               css_width: int):
+               css_width: int, css_file: str, diff_annos: str,
+               stress: bool):
     cfgp = configparser.ConfigParser()
     cfgp.read_dict({
         "input": {
             "kitti_path": suite,
-            "css_path": os.path.join(nets, "css_quality.msgpack"),
+            "css_path": os.path.join(nets, css_file),
             "css_width": str(css_width),
             "deepsdf_path": os.path.join(nets, "deepsdf_quality.pt"),
             "label_type": "gt",
-            "diff_annos": "easy",
+            "diff_annos": diff_annos,
             "grid_density": "40",
             "rendering_area": "32",
         },
@@ -99,15 +115,25 @@ def build_cfgp(suite: str, nets: str, labels_out: str, extra: dict,
         "visualization": {"viz_type": "none"},
         "losses": {"2d_weight": "0.3", "3d_weight": "0.5"},
         "output": {"labels": labels_out},
+        **({"stress": STRESS_INI} if stress else {}),
     })
     return cfgp
 
 
-def structured_map(gt_list, est_list):
-    """KITTI (2D/BEV/3D + AOS/AOE) and nuScenes mAP as plain floats."""
+def structured_map(gt_list, est_list, difficulties):
+    """KITTI (2D/BEV/3D + AOS/AOE) and nuScenes mAP per difficulty.
+
+    aoe_dist is AP-style x100-scaled (the evaluator's get_mAP multiplies
+    by 100) — do NOT read it as radians (round-4 artifact mislabeled it;
+    see per_object_diagnostics for honest-radian yaw errors)."""
     from sdflabel_tpu.eval.detection3d import (
         CoordinateFrame, Detection3DEvaluator)
     from sdflabel_tpu.pipelines.evaluate_dump import FILTER_FNS
+
+    def per_diff(arr):
+        a = np.asarray(arr)
+        return {DIFF_NAMES[d]: [round(float(v), 4) for v in a[0, i]]
+                for i, d in enumerate(difficulties)}
 
     out = {}
     for compute_nuscenes in (False, True):
@@ -115,23 +141,120 @@ def structured_map(gt_list, est_list):
             FILTER_FNS["kitti"], compute_nuscenes=compute_nuscenes,
             coordinate_frame=CoordinateFrame.CAMERA)
         formatted, result = ev.evaluate_detection_3d(
-            gt_list, est_list, ["Car"], difficulties=[0])
+            gt_list, est_list, ["Car"], difficulties=list(difficulties))
         if compute_nuscenes:
-            # Box3DAP_Nu[class, diff_pos, dist_thresh]
-            nu = np.asarray(result["Box3DAP_Nu"])[0, 0]
-            out["nuscenes_3d_ap"] = [round(float(v), 4) for v in nu]
-            out["aoe_dist"] = [
-                round(float(v), 4)
-                for v in np.asarray(result["AoeAP_dist"])[0, 0]]
+            out["nuscenes_3d_ap"] = per_diff(result["Box3DAP_Nu"])
+            out["aoe_dist_x100"] = per_diff(result["AoeAP_dist"])
         else:
             for name, key in (("Box2DAP", "bbox_2d_ap"),
                               ("BevAP", "bev_ap"),
                               ("Box3DAP", "kitti_3d_ap")):
-                vals = np.asarray(result[name])[0, 0]
-                out[key] = [round(float(v), 4) for v in vals]
-            out["aos_iou"] = [
-                round(float(v), 4)
-                for v in np.asarray(result["AosAP_iou"])[0, 0]]
+                out[key] = per_diff(result[name])
+            out["aos_iou"] = per_diff(result["AosAP_iou"])
+    return out
+
+
+def _iou3d_pair(gt_loc, gt_dim, gt_ry, est_loc, est_dim, est_ry):
+    """Honest 3D IoU for one pair: camera frame, dims [h, w, l] (the
+    convention every anno dict in this repo uses)."""
+    from sdflabel_tpu.ops import rotated_iou as riou
+
+    a = np.array([[gt_loc[0], gt_loc[2], gt_dim[1], gt_dim[2], gt_ry]],
+                 np.float32)
+    b = np.array([[est_loc[0], est_loc[2], est_dim[1], est_dim[2],
+                   est_ry]], np.float32)
+    rinc = float(riou.rotate_iou(a, b, criterion=2)[0, 0])
+    top = min(gt_loc[1], est_loc[1])
+    bot = max(gt_loc[1] - gt_dim[0], est_loc[1] - est_dim[0])
+    iw = max(top - bot, 0.0)
+    inter = iw * rinc
+    va = gt_dim[0] * gt_dim[1] * gt_dim[2]
+    vb = est_dim[0] * est_dim[1] * est_dim[2]
+    union = va + vb - inter
+    return inter / union if union > 0 else 0.0
+
+
+def _pctl(vals, q):
+    return round(float(np.percentile(vals, q)), 4) if len(vals) else None
+
+
+def _agg(pairs, n_gt, n_est):
+    """Aggregate per-object rows into distribution stats."""
+    trans = [p["trans_err"] for p in pairs]
+    dyaw = [p["dyaw_rad"] for p in pairs]
+    iou = [p["iou3d"] for p in pairs]
+    return {
+        "gt": n_gt, "matched": len(pairs), "est": n_est,
+        "missed": n_gt - len(pairs), "spurious": n_est - len(pairs),
+        "flips": int(sum(p["dyaw_rad"] > np.pi / 2 for p in pairs)),
+        "trans_err_m": {"mean": _pctl(trans, 50) and round(
+            float(np.mean(trans)), 4), "p50": _pctl(trans, 50),
+            "p95": _pctl(trans, 95)},
+        "dyaw_rad": {"mean": _pctl(dyaw, 50) and round(
+            float(np.mean(dyaw)), 4), "p50": _pctl(dyaw, 50),
+            "p95": _pctl(dyaw, 95)},
+        "iou3d": {"mean": _pctl(iou, 50) and round(
+            float(np.mean(iou)), 4), "p50": _pctl(iou, 50),
+            "p05": _pctl(iou, 5)},
+    }
+
+
+def per_object_diagnostics(annos, estims, conditions):
+    """Per-object error distributions below AP (VERDICT r4 #2).
+
+    Greedy center-distance matching (<4 m) per frame; |dyaw| in honest
+    radians wrapped to [0, pi]; flip = |dyaw| > pi/2 (invisible to AP/
+    AOS — the round-4 injection probe); honest 3D IoU per pair."""
+    all_pairs = []
+    by_cond = {}
+    cond_counts = {}
+    for frame_idx, gt in annos.items():
+        est = estims.get(frame_idx, {})
+        cond = conditions.get(f"{int(frame_idx):06d}", "all") \
+            if conditions else "all"
+        g_loc = np.asarray(gt.get("location", np.zeros((0, 3))),
+                           np.float64).reshape(-1, 3)
+        e_loc = np.asarray(est.get("location", np.zeros((0, 3))),
+                           np.float64).reshape(-1, 3)
+        cc = cond_counts.setdefault(cond, {"gt": 0, "est": 0})
+        cc["gt"] += len(g_loc)
+        cc["est"] += len(e_loc)
+        if not len(g_loc) or not len(e_loc):
+            continue
+        d = np.linalg.norm(g_loc[:, None] - e_loc[None, :], axis=-1)
+        pairs = []
+        used_g, used_e = set(), set()
+        for _ in range(min(len(g_loc), len(e_loc))):
+            gi, ei = np.unravel_index(np.argmin(d), d.shape)
+            if d[gi, ei] > 4.0:
+                break
+            used_g.add(gi)
+            used_e.add(ei)
+            g_dim = np.asarray(gt["dimensions"][gi], np.float64)
+            e_dim = np.asarray(est["dimensions"][ei], np.float64)
+            g_ry = float(np.asarray(gt["rotation_y"][gi]))
+            e_ry = float(np.asarray(est["rotation_y"][ei]))
+            dyaw = abs((e_ry - g_ry + np.pi) % (2 * np.pi) - np.pi)
+            pairs.append({
+                "trans_err": float(d[gi, ei]),
+                "dyaw_rad": dyaw,
+                "iou3d": _iou3d_pair(g_loc[gi], g_dim, g_ry,
+                                     e_loc[ei], e_dim, e_ry),
+            })
+            d[gi, :] = np.inf
+            d[:, ei] = np.inf
+        all_pairs.extend(pairs)
+        by_cond.setdefault(cond, []).extend(pairs)
+
+    out = {"all": _agg(all_pairs,
+                       sum(c["gt"] for c in cond_counts.values()),
+                       sum(c["est"] for c in cond_counts.values()))}
+    for cond, pairs in sorted(by_cond.items()):
+        out[cond] = _agg(pairs, cond_counts[cond]["gt"],
+                         cond_counts[cond]["est"])
+    for cond, cc in cond_counts.items():
+        if cond not in out:  # conditions where nothing matched at all
+            out[cond] = _agg([], cc["gt"], cc["est"])
     return out
 
 
@@ -150,10 +273,14 @@ def backfill(est):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--suite", default="data/quality_suite")
+    ap.add_argument("--suite", default="data/quality_suite_v2")
     ap.add_argument("--nets", default="data/quality_nets")
-    ap.add_argument("--out", default="QUALITY_r04.json")
+    ap.add_argument("--out", default="QUALITY_r05.json")
     ap.add_argument("--variants", default=",".join(VARIANTS))
+    ap.add_argument("--difficulties", default="0,1,2")
+    ap.add_argument("--diff-annos", default="hard",
+                    help="which GT tiers the driver ATTEMPTS (hard = "
+                         "easy+moderate+hard, matching difficulties 0-2)")
     ap.add_argument("--frames", type=int, default=0,
                     help="limit to the first N suite frames (0 = all)")
     args = ap.parse_args()
@@ -162,18 +289,34 @@ def main():
     suite_meta = json.load(open(meta_path)) if os.path.exists(meta_path) \
         else {}
     css_width = int(suite_meta.get("css_width", 16))
+    conditions = suite_meta.get("conditions", {})
+    suffix = "_v2" if suite_meta.get("profile") == "v2" else ""
+    difficulties = [int(d) for d in args.difficulties.split(",")]
 
     from sdflabel_tpu.pipelines import refine_css as pipeline
 
-    results = {"suite": suite_meta, "backend": jax.default_backend(),
+    results = {"suite": {k: v for k, v in suite_meta.items()
+                         if k != "conditions"},
+               "backend": jax.default_backend(),
+               "difficulties": difficulties,
+               "stress_ini": STRESS_INI,
                "variants": {}}
     for name in args.variants.split(","):
         spec = VARIANTS[name]
+        css_file = f"css_quality{suffix}.msgpack"
+        if spec.get("css") == "weak":
+            css_file = f"css_quality{suffix}_weak.msgpack"
+            if not os.path.exists(os.path.join(args.nets, css_file)):
+                print(f"=== variant {name}: weak CSS missing, skipped ===",
+                      flush=True)
+                results["variants"][name] = {"skipped": "no weak css"}
+                continue
         tmp = tempfile.mkdtemp(prefix=f"quality_{name}_")
         try:
             cfgp = build_cfgp(args.suite, args.nets,
                               os.path.join(tmp, "labels"), spec["ini"],
-                              css_width)
+                              css_width, css_file, args.diff_annos,
+                              spec.get("stress", False))
             print(f"=== variant {name} (batched={spec['batched']}) ===",
                   flush=True)
             subset = range(args.frames) if args.frames else None
@@ -189,11 +332,16 @@ def main():
             row = {"wall_s": round(wall, 1),
                    "frames": len(gt_list), "gt_boxes": n_gt,
                    "est_boxes": n_est,
-                   **structured_map(gt_list, est_list)}
+                   **structured_map(gt_list, est_list, difficulties),
+                   "objects": per_object_diagnostics(annos, estims,
+                                                     conditions)}
             results["variants"][name] = row
             print(json.dumps({name: row}), flush=True)
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
+
+        with open(args.out, "w") as f:  # checkpoint after every variant
+            json.dump(results, f, indent=1)
 
     with open(args.out, "w") as f:
         json.dump(results, f, indent=1)

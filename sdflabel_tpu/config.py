@@ -140,6 +140,18 @@ class RefineCfg:
     # programs serve every crop shape instead of one XLA compile per
     # distinct (h, w). 1 = exact per-shape compilation.
     render_bucket: int = 8
+    # --- [stress] benchmark stressors (round 5, TPU extension) ---
+    # Deterministic perturbation of the RANSAC init before refinement
+    # (drawn from the runtime's seeded np_rng), used by
+    # scripts/run_quality_benchmark.py to make the warm-band STALENESS
+    # axis adversarial: a large init error forces long pose/latent
+    # trajectories, so a stale candidate pool (warm refresh 10 vs 20 vs
+    # exact) can actually separate. 0 everywhere = off (reference
+    # semantics; no reference equivalent).
+    stress_init_yaw_deg: float = 0.0
+    stress_init_trans_m: float = 0.0
+    stress_init_scale: float = 0.0
+    stress_init_latent: float = 0.0
     viz_type: str = "none"
     # [visualization] live: publish each trajectory image to stable
     # <viz_dir>/live/latest_*.png paths as it is written — the headless
@@ -198,6 +210,18 @@ class RefineCfg:
             ),
             render_bucket=read_cfg_int(
                 cfgp, "optimization", "render_bucket", cls.render_bucket
+            ),
+            stress_init_yaw_deg=read_cfg_float(
+                cfgp, "stress", "init_yaw_deg", cls.stress_init_yaw_deg
+            ),
+            stress_init_trans_m=read_cfg_float(
+                cfgp, "stress", "init_trans_m", cls.stress_init_trans_m
+            ),
+            stress_init_scale=read_cfg_float(
+                cfgp, "stress", "init_scale_frac", cls.stress_init_scale
+            ),
+            stress_init_latent=read_cfg_float(
+                cfgp, "stress", "init_latent_sigma", cls.stress_init_latent
             ),
             viz_type=read_cfg_string(cfgp, "visualization", "viz_type", cls.viz_type),
             viz_live=read_cfg_bool(cfgp, "visualization", "live",

@@ -511,6 +511,23 @@ def prepare_crop(rt: RefineRuntime, sample: dict, anno: dict,
         ymin, ymax = world_points[:, 1].min(), world_points[:, 1].max()
         tra[1] = nocs_3d_pts[:, 1].min() + (ymax - ymin) / 2
 
+    # [stress] init perturbation (benchmark stressor, config.py): a
+    # deterministic seeded kick to the RANSAC init so refinement must
+    # travel far — makes the warm-band staleness axis adversarial.
+    if (cfg.stress_init_yaw_deg or cfg.stress_init_trans_m
+            or cfg.stress_init_scale or cfg.stress_init_latent):
+        srng = rt.np_rng
+        yaw = float(yaw) + math.radians(cfg.stress_init_yaw_deg) \
+            * (1.0 if srng.rand() < 0.5 else -1.0)
+        tra = np.asarray(tra, np.float64) \
+            + srng.randn(3) * cfg.stress_init_trans_m
+        scale = np.asarray(scale, np.float64) \
+            * (1.0 + cfg.stress_init_scale
+               * (1.0 if srng.rand() < 0.5 else -1.0))
+        latent_pred = np.asarray(latent_pred) + (
+            srng.randn(*np.shape(latent_pred))
+            * cfg.stress_init_latent).astype(np.float32)
+
     # Pack refinement inputs (refine_css.py:192-214)
     params0 = refine_mod.init_refine_params(
         yaw, tra / scale, scale, latent_pred

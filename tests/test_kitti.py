@@ -11,9 +11,12 @@ from sdflabel_tpu.ops import geometry
 cv2 = pytest.importorskip("cv2")
 
 
-@pytest.fixture(scope="module")
-def kitti_root(tmp_path_factory):
-    root = tmp_path_factory.mktemp("kitti")
+def make_kitti_tree(root, n_frames=2):
+    """Synthetic KITTI tree in the real on-disk layout (also used by the
+    two-process driver-partition test and its worker)."""
+    import pathlib
+
+    root = pathlib.Path(root)
     training = root / "training"
     for sub in ("image_2", "label_2", "calib", "velodyne"):
         (training / sub).mkdir(parents=True)
@@ -28,7 +31,7 @@ def kitti_root(tmp_path_factory):
         [0.0, -1, 0, 0], [0, 0, -1, 0], [1, 0, 0, 0]
     ])
 
-    names = ["000000", "000001"]
+    names = [f"{i:06d}" for i in range(n_frames)]
     rng = np.random.RandomState(0)
     for name in names:
         img = (rng.rand(h, w, 3) * 255).astype(np.uint8)
@@ -72,6 +75,11 @@ def kitti_root(tmp_path_factory):
     (root / "mv3d_kitti_split" / "trainval.txt").write_text(
         "\n".join(names) + "\n")
     return str(root)
+
+
+@pytest.fixture(scope="module")
+def kitti_root(tmp_path_factory):
+    return make_kitti_tree(tmp_path_factory.mktemp("kitti"))
 
 
 def test_kitti_dataset_loads(kitti_root):

@@ -221,6 +221,62 @@ def test_refine_annotation_deterministic_without_global_seed(
             np.asarray(label_a[k]), np.asarray(label_b[k]), err_msg=k)
 
 
+def test_stress_init_perturbation(synthetic_world):
+    """[stress] knobs (round 5): prepare_crop applies a deterministic,
+    seeded kick to the RANSAC init (yaw/trans/scale/latent) — the
+    benchmark stressor that makes the warm-band staleness axis
+    adversarial. Off by default; magnitudes match the config."""
+    dsdf_cfg, dsdf_params, sample, anno, gt, _ = synthetic_world
+    from sdflabel_tpu.ops import ransac as ransac_mod
+
+    base = dict(label_type="gt", grid_density=28, rendering_area=32,
+                iters=2, pose_estimator="kabsch")
+    l, t, r, b = gt["bbox"]
+    img_rgb = sample["image"][..., ::-1]
+    from PIL import Image
+
+    crop128 = np.asarray(
+        Image.fromarray(
+            (np.clip(img_rgb[t:b, l:r], 0, 1) * 255).astype(np.uint8)
+        ).resize((128, 128), Image.NEAREST), np.float32) / 255.0
+    oracle = {"nocs_crop": np.transpose(crop128, (2, 0, 1)),
+              "latent": gt["latent"]}
+
+    def prep_for(cfg, seed=7):
+        rt = SyntheticRuntime(
+            cfg, dsdf_cfg, dsdf_params, oracle, rng_seed=seed,
+            surface_capacity=2048, frustum_capacity=4096,
+            ransac_model_capacity=1024, ransac_scene_capacity=1024,
+            ransac_cfg=ransac_mod.RansacConfig(hypothesis_chunk=8),
+        )
+        prep = pipeline.prepare_crop(rt, sample, anno)
+        assert prep is not None
+        return prep["params0"]
+
+    p_plain = prep_for(cfg_mod.RefineCfg(**base))
+    cfg_s = cfg_mod.RefineCfg(**base, stress_init_yaw_deg=25.0,
+                              stress_init_trans_m=0.6,
+                              stress_init_scale=0.12,
+                              stress_init_latent=0.35)
+    p_a = prep_for(cfg_s)
+    p_b = prep_for(cfg_s)
+
+    # deterministic per rng_seed
+    for k in ("yaw", "trans", "scale", "latent"):
+        np.testing.assert_array_equal(np.asarray(getattr(p_a, k)),
+                                      np.asarray(getattr(p_b, k)), k)
+    # yaw kicked by exactly +-25 deg
+    dyaw = abs(float(p_a.yaw[0]) - float(p_plain.yaw[0]))
+    np.testing.assert_allclose(dyaw, np.deg2rad(25.0), atol=1e-5)
+    # scale kicked by exactly +-12%
+    ratio = float(p_a.scale[0]) / float(p_plain.scale[0])
+    assert abs(abs(ratio - 1.0) - 0.12) < 1e-5
+    # trans and latent moved
+    assert not np.allclose(np.asarray(p_a.trans), np.asarray(p_plain.trans))
+    assert not np.allclose(np.asarray(p_a.latent),
+                           np.asarray(p_plain.latent))
+
+
 def test_batched_crops_matches_sequential(synthetic_world):
     """Letterboxed masked batched refinement == per-crop refinement."""
     dsdf_cfg, dsdf_params, sample, anno, gt, _ = synthetic_world
