@@ -53,11 +53,14 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
 
 import numpy as np  # noqa: E402
 
-# Stress setting: ~25 deg yaw kick + 0.6 m translation + 12% scale + 0.35
+# Stress setting: ~15 deg yaw kick + 0.4 m translation + 8% scale + 0.25
 # latent sigma forces the refinement to travel far from init — the
-# adversarial regime for a stale warm candidate pool.
-STRESS_INI = {"init_yaw_deg": "25", "init_trans_m": "0.6",
-              "init_scale_frac": "0.12", "init_latent_sigma": "0.35"}
+# adversarial regime for a stale warm candidate pool. Calibrated on a
+# 6-frame sanity run: 25 deg/0.6 m left refinement unrecoverable in 60
+# iters (3D AP ~0 for every variant — no separation possible); this
+# setting keeps the outcome in the sensitive mid-range.
+STRESS_INI = {"init_yaw_deg": "15", "init_trans_m": "0.4",
+              "init_scale_frac": "0.08", "init_latent_sigma": "0.25"}
 
 W10 = {"warm_band": "8192", "warm_refresh": "10",
        "warm_refresh_cells": "2048"}

@@ -225,6 +225,9 @@ class RefineRuntime:
         # refine_annotation/prepare_crop are deterministic per rng_seed
         # without any global seeding.
         self.np_rng = np.random.RandomState(rng_seed)
+        # Optional device mesh for the batched driver path (set by
+        # setup_runtime(mesh=...)): crops shard over its 'data' axis.
+        self.mesh = None
 
         # latent head sized to the LOADED decoder (3 for the reference car
         # checkpoints; in-framework decoders may differ — models/css.py)
@@ -422,10 +425,14 @@ _RUNTIME_CACHE: dict = {}
 
 
 def setup_runtime(cfgp_or_cfg, rng_seed: int = 1,
-                  reuse: bool = True) -> RefineRuntime:
+                  reuse: bool = True, mesh=None) -> RefineRuntime:
+    """mesh: optional jax.sharding.Mesh with a 'data' axis — the batched
+    driver path then shards the per-frame crop batch over it (each device
+    refines its crop shard; no collectives, exactly the reference's MPI
+    frame-partitioning pattern but on-chip). None = single device."""
     cfg = (cfgp_or_cfg if isinstance(cfgp_or_cfg, cfg_mod.RefineCfg)
            else cfg_mod.RefineCfg.from_ini(cfgp_or_cfg))
-    key = (dataclasses.astuple(cfg), rng_seed)
+    key = (dataclasses.astuple(cfg), rng_seed, id(mesh))
     if reuse and key in _RUNTIME_CACHE:
         rt = _RUNTIME_CACHE[key]
         rt.reset_rng(rng_seed)
@@ -435,6 +442,7 @@ def setup_runtime(cfgp_or_cfg, rng_seed: int = 1,
                               latent_size=dsdf_cfg.latent_size)
     rt = RefineRuntime(cfg, css_variables, dsdf_cfg, dsdf_params, rng_seed,
                        coarse_cells=cfg.coarse_cells or None)
+    rt.mesh = mesh
     if reuse:
         _RUNTIME_CACHE[key] = rt
     return rt
@@ -761,10 +769,20 @@ def refine_crops_batched(rt: RefineRuntime, sample: dict, preps: list,
     # independent, so duplicate lanes change nothing per crop, while the
     # program count stays O(log max-crops-per-frame) instead of one
     # compile per distinct crop COUNT (each a multi-minute XLA compile of
-    # the full 60-iteration scan on a remote backend).
+    # the full 60-iteration scan on a remote backend). Under a mesh the
+    # batch additionally pads up to the 'data' axis size so the crop
+    # shard is even across devices.
+    mesh = getattr(rt, "mesh", None)
+    min_b = b
+    if mesh is not None:
+        min_b = max(b, int(mesh.shape.get("data", 1)))
     pb = 1
-    while pb < b:
+    while pb < min_b:
         pb *= 2
+    if mesh is not None:
+        nd = int(mesh.shape.get("data", 1))
+        while pb % nd:
+            pb *= 2
     pad = [preps[-1]] * (pb - b)
 
     params0 = refine_mod.RefineParams(
@@ -797,7 +815,7 @@ def refine_crops_batched(rt: RefineRuntime, sample: dict, preps: list,
             splat_block_px=tile_px, splat_chunk=tile_chunk,
         )
         rt._refine_cache[key] = batched_refine.make_batched_refine(
-            rt.decoder, rcfg, rt.grid_points, (bh, bw), mesh=None,
+            rt.decoder, rcfg, rt.grid_points, (bh, bw), mesh=mesh,
             select_decoder=rt.select_decoder, stage2_fn=rt.stage2_fn,
             with_extents=True,
         )
@@ -841,16 +859,18 @@ def _fuse_maskrcnn(anno, maskrcnn_labels):
     return bbox, bbox_max_id
 
 
-def refine_css(cfgp, subset_frames=None, batched=True):
+def refine_css(cfgp, subset_frames=None, batched=True, mesh=None):
     """Full KITTI autolabeling driver (refine_css.py:26).
 
     batched=True refines all of a frame's crops in one compiled program
     (refine_crops_batched); batched=False reproduces the reference's
-    sequential per-annotation loop.
+    sequential per-annotation loop. mesh: optional Mesh with a 'data'
+    axis — the batched path then shards each frame's crop batch over it
+    (see setup_runtime).
     """
     np.random.seed(1)
     cfg = cfg_mod.RefineCfg.from_ini(cfgp)
-    rt = setup_runtime(cfg)
+    rt = setup_runtime(cfg, mesh=mesh)
 
     kitti = kitti_mod.KITTI3D(path=cfg.kitti_path)
     total_annotations, total_estimations = OrderedDict(), OrderedDict()
