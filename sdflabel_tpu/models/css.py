@@ -320,7 +320,13 @@ def _t_conv(w):
 
 
 def _np(t):
-    return t.detach().cpu().numpy() if hasattr(t, "detach") else np.asarray(t)
+    arr = (t.detach().cpu().numpy() if hasattr(t, "detach")
+           else np.asarray(t))
+    # fp16-saved checkpoints (the reference's refine-side convention,
+    # workspace.py:191-195) import as fp32 working precision
+    if np.issubdtype(arr.dtype, np.floating) and arr.dtype != np.float32:
+        arr = arr.astype(np.float32)
+    return arr
 
 
 def params_from_torch_state(state: dict) -> dict:

@@ -355,6 +355,10 @@ def specs_from_config(cfg: DeepSDFConfig) -> dict:
     checkpoints round-trip through DeepSDFConfig.from_specs)."""
     return {
         "CodeLength": cfg.latent_size,
+        # the reference's setup_dsdf imports the decoder class by this
+        # name (workspace.py:171-174) — required for our exports to load
+        # in the reference stack
+        "NetworkArch": "deep_sdf_decoder_scale",
         "NetworkSpecs": {
             "dims": list(cfg.dims),
             "dropout": list(cfg.dropout),
@@ -379,7 +383,12 @@ def save_torch_checkpoint(path: str, cfg: DeepSDFConfig, params: dict,
     import torch
 
     # np.array copies: device_get arrays can be non-writable, which torch warns on
-    state = {k: torch.from_numpy(np.array(v))
+    # 'module.' prefix: the reference's setup_dsdf loads through
+    # nn.DataParallel BEFORE unwrapping (workspace.py:175-180), so its
+    # strict load_state_dict requires DataParallel key names — exactly
+    # how the released reference checkpoints are saved. Our own loader
+    # accepts both spellings (params_from_torch_state).
+    state = {"module." + k: torch.from_numpy(np.array(v))
              for k, v in torch_state_from_params(cfg, params).items()}
     torch.save({"epoch": epoch, "model_state_dict": state}, path)
     with open(os.path.splitext(path)[0] + ".json", "w") as f:
