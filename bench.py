@@ -375,8 +375,151 @@ def bench_driver_crop():
     for _ in range(n):
         run()
     s_per_crop = (time.perf_counter() - t0) / n
+
+    # Pipelined dispatch (VERDICT r4 #7): keep one crop in flight —
+    # dispatch crop N+1 BEFORE fetching crop N, hiding the result-fetch
+    # RTT behind the next crop's device compute. depth=2 is exactly the
+    # driver's double-buffer opportunity (prep N+1 while N refines).
+    from collections import deque
+
+    def run_pipelined(m, depth=2):
+        q = deque()
+        t1 = time.perf_counter()
+        for _ in range(m):
+            q.append(jitted(crop, scene_pts, scene_cls, scene_mask,
+                            frustum, fmask, key))
+            if len(q) >= depth:
+                float(q.popleft()[0][0])
+        while q:
+            float(q.popleft()[0][0])
+        return (time.perf_counter() - t1) / m
+
+    run_pipelined(2)
+    sp = run_pipelined(n)
     return {"s_per_crop": round(s_per_crop, 4),
-            "crops_per_hour": round(3600.0 / s_per_crop, 1)}
+            "crops_per_hour": round(3600.0 / s_per_crop, 1),
+            "pipelined": {"s_per_crop": round(sp, 4),
+                          "crops_per_hour": round(3600.0 / sp, 1),
+                          "depth": 2}}
+
+
+E2E_CASES = [(13, "float32"), (52, "float32"), (104, "float32"),
+             (52, "bfloat16")]
+
+
+def _ensure_bench_crops_db(n=624, px=160):
+    """Synthetic crops.json DB for the END-TO-END training bench (decode
+    + augment + collate are what's being measured, so random content is
+    the right fixture; layout = data.crops.Crops / reference crops.py
+    schema). Cached across runs."""
+    import json as json_mod
+
+    from PIL import Image
+
+    root = f"/tmp/sdflabel_bench_crops_{n}_{px}"
+    marker = os.path.join(root, "crops.json")
+    if os.path.exists(marker):
+        return root
+    os.makedirs(root, exist_ok=True)
+    rng = np.random.RandomState(7)
+    gt = {}
+    eye4 = np.eye(4).reshape(-1).tolist()
+    eye3 = np.eye(3).reshape(-1).tolist()
+    for i in range(n):
+        rgb = (rng.rand(px, px, 3) * 255).astype(np.uint8)
+        uvw = (rng.rand(px, px, 3) * 255).astype(np.uint8)
+        uvw[: px // 3] = 0  # background region -> nontrivial mask
+        Image.fromarray(rgb).save(os.path.join(root, f"{i:05d}_rgb.png"))
+        Image.fromarray(uvw).save(os.path.join(root, f"{i:05d}_uvw.png"))
+        lat = rng.randn(3)
+        gt[str(i)] = [{
+            "latent": (lat / np.linalg.norm(lat)).tolist(),
+            "extrinsics": eye4, "intrinsics": eye3,
+        }]
+    with open(marker, "w") as f:
+        json_mod.dump(gt, f)
+    return root
+
+
+def bench_css_train_e2e():
+    """END-TO-END CSS training (VERDICT r4 #5): host input pipeline
+    (PNG decode + synchronized augs + collate, threaded prefetch — the
+    reference's DataLoader-worker analogue, train_css.py:42-45)
+    OVERLAPPED with the device step, at batch 13 / 52 / 104 and the bf16
+    conv knob. Reports images/s end-to-end and the input-pipeline share
+    vs the device-only step (bench_css_train's protocol)."""
+    import jax
+    import jax.numpy as jnp
+
+    from sdflabel_tpu.data.crops import Crops, prefetch_iterator
+    from sdflabel_tpu.engine import css_train
+    from sdflabel_tpu.models import css as css_mod
+
+    root = _ensure_bench_crops_db()
+    ds = Crops(root, augment=True, seed=1)
+    model = css_mod.CSSNet(use_running_average=False)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 3, CSS_RES, CSS_RES)))
+    variables = jax.tree.map(jnp.asarray, variables)
+
+    out = {}
+    for batch, prec in E2E_CASES:
+        tag = f"b{batch}" + ("_bf16" if prec == "bfloat16" else "")
+        m = (css_mod.CSSNet(use_running_average=False,
+                            dtype=jnp.bfloat16)
+             if prec == "bfloat16" else model)
+        step = jax.jit(css_train.make_train_step(1e-3, model=m,
+                                                 direct_ce=True))
+        state = css_train.init_train_state(variables, 1e-3)
+        keep = {"rgb", "uvw", "mask", "latent"}
+
+        def batches():
+            epoch = 0
+            while True:
+                ds.set_epoch(epoch)
+                yield from prefetch_iterator(ds, batch, num_threads=8,
+                                             queue_size=10, seed=epoch,
+                                             drop_last=True)
+                epoch += 1
+
+        it = batches()
+        # warmup: compile + fill the prefetch queue
+        for _ in range(3):
+            b = {k: jnp.asarray(v) for k, v in next(it).items()
+                 if k in keep}
+            state, metrics = step(state, b)
+        float(metrics["loss"])
+        steps = max(20, 416 // batch)
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            b = {k: jnp.asarray(v) for k, v in next(it).items()
+                 if k in keep}
+            state, metrics = step(state, b)
+        float(metrics["loss"])  # drain the device queue
+        dt = (time.perf_counter() - t0) / steps
+
+        # device-only step on a pre-staged batch (same protocol as
+        # bench_css_train) for the input-pipeline share
+        sb = {k: jnp.asarray(v) for k, v in next(it).items() if k in keep}
+
+        def burst():
+            s = state
+            for _ in range(10):
+                s, mm = step(s, sb)
+            return float(mm["loss"])
+
+        dev_dt = _timed(burst) / 10
+        out[tag] = {
+            "ms_per_step_e2e": round(dt * 1000, 2),
+            "images_per_s_e2e": round(batch / dt, 1),
+            "ms_per_step_device": round(dev_dt * 1000, 2),
+            "input_share_pct": round(100.0 * max(dt - dev_dt, 0) / dt, 1),
+        }
+        print(f"# css e2e {tag}: {out[tag]}", file=sys.stderr, flush=True)
+    # recommended config: the measured-best end-to-end images/s
+    best = max(out, key=lambda k: out[k]["images_per_s_e2e"])
+    out["recommended"] = best
+    return out
 
 
 def bench_css_train():
@@ -771,6 +914,12 @@ def main():
             print(f"# css train bench failed: {type(e).__name__}: {e}",
                   file=sys.stderr)
             extras["css_train"] = {"error": str(e)[:200]}
+        try:
+            extras["css_train_e2e"] = bench_css_train_e2e()
+        except Exception as e:  # pragma: no cover - defensive
+            print(f"# css e2e bench failed: {type(e).__name__}: {e}",
+                  file=sys.stderr)
+            extras["css_train_e2e"] = {"error": str(e)[:200]}
 
     ref_rays = bench_reference()
     vs = rays_per_sec / ref_rays if ref_rays else 0.0
