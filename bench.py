@@ -83,10 +83,12 @@ WARM_REFRESH = int(os.environ.get("BENCH_WARM_REFRESH", "10"))
 # shipping warm pool at the headline protocol (== CAPACITY; the INI's
 # 8192 clamps to the surface capacity by the same pool==capacity rule)
 SHIP_WARM = 0 if EXACT else (WARM_BAND or CAPACITY)
-# composed refresh cells at the headline protocol (pool 4096 -> 1024
-# cells = 2x margin; the INI default 2048 serves the 8192 crop pool).
-# BENCH_WARM_CELLS=0 forces the plain full-grid refresh.
-SHIP_CELLS = 0 if EXACT else int(os.environ.get("BENCH_WARM_CELLS", "1024"))
+# composed refresh cells: DEFAULT 0 since round 5 — the discriminative
+# quality suite measured the cell-pass refresh at -3.0 3D AP on distant
+# objects (QUALITY_r05.json), so the shipping default is the plain
+# full-grid warm refresh. BENCH_WARM_CELLS=1024 re-measures the composed
+# variant (pool 4096 -> 1024 cells).
+SHIP_CELLS = 0 if EXACT else int(os.environ.get("BENCH_WARM_CELLS", "0"))
 SKIP_EXTRAS = bool(int(os.environ.get("BENCH_SKIP_EXTRAS", "0")))
 
 
@@ -244,10 +246,14 @@ def bench_crops_per_hour():
     default path and the best variant (warm band)."""
     out = {}
     for name, kw in (
-        # shipping default since round 4: warm pool == capacity with the
-        # composed (c2f-cell) refresh
-        ("default_warm", dict(select="default", warm_band=CROP_CAPACITY,
-                              warm_refresh_cells=2048)),
+        # shipping default since round 5: warm pool == capacity, plain
+        # full-grid refresh (the composed c2f refresh measured -3.0 3D AP
+        # on distant objects, QUALITY_r05.json — no longer default)
+        ("default_warm", dict(select="default",
+                              warm_band=CROP_CAPACITY)),
+        ("warm_c2f_refresh", dict(select="default",
+                                  warm_band=CROP_CAPACITY,
+                                  warm_refresh_cells=2048)),
         ("exact", dict(select="default")),
     ):
         try:

@@ -125,14 +125,20 @@ class RefineCfg:
     # iteration (bit-level reference behavior, same measured labels).
     warm_band: int = 8192
     warm_refresh: int = 10
-    # Composed refresh (round 4): the warm candidate refresh runs through
-    # the coarse-to-fine CELL pass with this many cells instead of the
-    # full grid — measured +9.4% refinement rays/s (BENCH_NOTES "Composed
-    # warm"), quality-gated mAP-identical on the suite (QUALITY_r04). The
+    # Composed refresh: the warm candidate refresh runs through the
+    # coarse-to-fine CELL pass with this many cells instead of the full
+    # grid (+9.4% refinement rays/s, BENCH_NOTES "Composed warm"). The
     # runtime clamps to the cell count and falls back to a full-grid
-    # refresh when the warm pool wouldn't fit cells*8. 0 = full-grid
-    # refresh (plain warm).
-    warm_refresh_cells: int = 2048
+    # refresh when the warm pool wouldn't fit cells*8 or the density is
+    # odd. DEFAULT 0 (full-grid refresh) since round 5: the
+    # DISCRIMINATIVE quality suite v2 measured the cell-pass refresh at
+    # -3.0 KITTI 3D AP (easy @0.7, distant-object degradation,
+    # QUALITY_r05.json warm_r10_c2f vs exact) where plain warm_band is
+    # quality-IDENTICAL to the exact path on every metric, tier, and
+    # stress axis. The round-4 default flip to 2048 was gated by the
+    # saturated v1 suite; v2 caught it. Opt back in for the +9.4% only
+    # where distant-object dimension accuracy doesn't matter.
+    warm_refresh_cells: int = 0
     # Crop-shape bucketing for the sequential driver path (TPU extension):
     # (h, w) rounds up to multiples of this and the crop letterboxes into
     # the bucket with a pixel validity mask — exactly equivalent rendering

@@ -436,18 +436,25 @@ def test_runtime_warm_compose_policy(synthetic_world):
         return SyntheticRuntime(cfg, dsdf_cfg, dsdf_params, oracle={},
                                 surface_capacity=64)
 
-    # stock defaults at reference grid density: composed
+    # stock defaults at reference grid density: plain warm (the composed
+    # cell-pass refresh is OFF by default since round 5 — QUALITY_r05
+    # measured it at -3.0 3D AP on distant objects)
     rt = rt_for(grid_density=40)
+    assert rt.warm_band == 8192
+    assert rt.warm_refresh_cells is None
+
+    # opting in composes (clamped to the cell pool)
+    rt = rt_for(grid_density=40, warm_refresh_cells=2048)
     assert rt.warm_band == 8192
     assert rt.warm_refresh_cells == 2048
 
     # small even grid: pool clamps to d^3, cells to (d/2)^3 — still fits
-    rt = rt_for(grid_density=12)
+    rt = rt_for(grid_density=12, warm_refresh_cells=2048)
     assert rt.warm_band == 12 ** 3
     assert rt.warm_refresh_cells == 6 ** 3  # 1728 == 216 * 8 exactly
 
     # odd grid where (d//2)^3 * 8 < d^3: full-grid refresh fallback
-    rt = rt_for(grid_density=15)
+    rt = rt_for(grid_density=15, warm_refresh_cells=2048)
     assert rt.warm_band == 15 ** 3
     assert rt.warm_refresh_cells is None
 
@@ -455,7 +462,7 @@ def test_runtime_warm_compose_policy(synthetic_world):
     # (8192 <= (25//2)^3 * 8 = 13824) but the cell pass cannot partition
     # an odd density — must fall back to full-grid refresh rather than
     # crash at trace time in _cell_children_np (round-4 advisor finding)
-    rt = rt_for(grid_density=25)
+    rt = rt_for(grid_density=25, warm_refresh_cells=2048)
     assert rt.warm_band == 8192
     assert rt.warm_refresh_cells is None
 
