@@ -409,11 +409,12 @@ def bench_driver_crop():
                           "depth": 2}}
 
 
-E2E_CASES = [(13, "float32"), (52, "float32"), (104, "float32"),
-             (52, "bfloat16")]
+E2E_CASES = [(13, "float32", "threads"), (13, "float32", "procs"),
+             (52, "float32", "procs"), (104, "float32", "procs"),
+             (52, "bfloat16", "procs")]
 
 
-def _ensure_bench_crops_db(n=624, px=160):
+def _ensure_bench_crops_db(n=2496, px=160):
     """Synthetic crops.json DB for the END-TO-END training bench (decode
     + augment + collate are what's being measured, so random content is
     the right fixture; layout = data.crops.Crops / reference crops.py
@@ -469,8 +470,9 @@ def bench_css_train_e2e():
     variables = jax.tree.map(jnp.asarray, variables)
 
     out = {}
-    for batch, prec in E2E_CASES:
-        tag = f"b{batch}" + ("_bf16" if prec == "bfloat16" else "")
+    for batch, prec, mode in E2E_CASES:
+        tag = (f"b{batch}" + ("_bf16" if prec == "bfloat16" else "")
+               + ("_threads" if mode == "threads" else ""))
         m = (css_mod.CSSNet(use_running_average=False,
                             dtype=jnp.bfloat16)
              if prec == "bfloat16" else model)
@@ -479,28 +481,34 @@ def bench_css_train_e2e():
         state = css_train.init_train_state(variables, 1e-3)
         keep = {"rgb", "uvw", "mask", "latent"}
 
+        nw = 8
         def batches():
             epoch = 0
             while True:
                 ds.set_epoch(epoch)
-                yield from prefetch_iterator(ds, batch, num_threads=8,
-                                             queue_size=10, seed=epoch,
-                                             drop_last=True)
+                yield from prefetch_iterator(
+                    ds, batch, num_threads=nw,
+                    num_procs=(nw if mode == "procs" else 0),
+                    epoch=epoch, queue_size=10, seed=epoch,
+                    drop_last=True)
                 epoch += 1
+
+        def stage(bnp):
+            # uvw/mask ship as uint8 (cast to int32 on device by
+            # css_losses) — int64 would 8x the per-step batch upload
+            return {k: jnp.asarray(v.astype(np.uint8)
+                                   if k in ("uvw", "mask") else v)
+                    for k, v in bnp.items() if k in keep}
 
         it = batches()
         # warmup: compile + fill the prefetch queue
         for _ in range(3):
-            b = {k: jnp.asarray(v) for k, v in next(it).items()
-                 if k in keep}
-            state, metrics = step(state, b)
+            state, metrics = step(state, stage(next(it)))
         float(metrics["loss"])
         steps = max(20, 416 // batch)
         t0 = time.perf_counter()
         for _ in range(steps):
-            b = {k: jnp.asarray(v) for k, v in next(it).items()
-                 if k in keep}
-            state, metrics = step(state, b)
+            state, metrics = step(state, stage(next(it)))
         float(metrics["loss"])  # drain the device queue
         dt = (time.perf_counter() - t0) / steps
 

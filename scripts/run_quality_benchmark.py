@@ -68,6 +68,10 @@ W20 = {"warm_band": "8192", "warm_refresh": "20",
        "warm_refresh_cells": "2048"}
 EXACT = {"warm_band": "0"}
 
+# NOTE (r5 outcome): warm_r10_c2f / warm_r20_c2f measured -3.0 3D AP on
+# distant objects (QUALITY_r05.json), so warm_refresh_cells was reverted
+# to default-0 — "ship_default" ({} = stock config) now measures the
+# plain-warm path.
 VARIANTS = {
     # core semantics axis (all batched — r4 measured batched==sequential
     # mAP-identical; exact_seq kept as the cross-check row)

@@ -160,24 +160,48 @@ def batch_iterator(dataset, batch_size: int, shuffle: bool = True,
         yield {k: np.stack([s[k] for s in samples]) for k in samples[0]}
 
 
+# Process-pool worker state: one Crops instance per worker process,
+# built by the pool initializer (pickling the dataset per task would
+# re-ship the crops.json dict on every submit).
+_WORKER_DS: "Crops | None" = None
+
+
+def _init_crops_worker(path, augment, seed):
+    global _WORKER_DS
+    _WORKER_DS = Crops(path, augment=augment, seed=seed)
+
+
+def _crops_worker_get(args):
+    epoch, idx = args
+    _WORKER_DS.set_epoch(epoch)
+    return _WORKER_DS[idx]
+
+
 def prefetch_iterator(dataset, batch_size: int, num_threads: int = 2,
                       queue_size: int = 10, shuffle: bool = True,
-                      seed: int = 0, drop_last: bool = False):
-    """Threaded prefetching batch iterator.
+                      seed: int = 0, drop_last: bool = False,
+                      num_procs: int = 0, epoch: int = 0):
+    """Prefetching batch iterator (threads or worker processes).
 
     Host-side input parallelism replacing the reference's DataLoader
     workers (train_css.py:42-45, num_workers=cpu_threads, queue_size
-    config key): decode+augment runs in a thread pool while the previous
-    batch trains on device. num_threads<=0 falls back to the sync path.
+    config key). num_procs>0 uses a PROCESS pool — the faithful
+    DataLoader-worker analogue, and the fast path: the PIL decode+augment
+    chain holds the GIL for most of its time, so threads cap out near
+    1x single-core throughput (measured 86-91% input share at batch
+    13-52 on v5e, BENCH_NOTES round 5 "CSS training end-to-end").
+    Augmentation draws stay reproducible across worker counts because
+    the Crops RNG is per-(seed, epoch, idx), visit-order-independent;
+    the process path therefore requires `dataset.seed is not None`.
+    num_procs==0 falls back to threads; num_threads<=0 to the sync path.
     """
-    if num_threads <= 0:
+    if num_procs <= 0 and num_threads <= 0:
         yield from batch_iterator(dataset, batch_size, shuffle, seed,
                                   drop_last)
         return
 
     import queue
     import threading
-    from concurrent.futures import ThreadPoolExecutor
 
     order = np.arange(len(dataset))
     rng = np.random.RandomState(seed)
@@ -192,16 +216,47 @@ def prefetch_iterator(dataset, batch_size: int, num_threads: int = 2,
     q: "queue.Queue" = queue.Queue(maxsize=queue_size)
     stop = threading.Event()
 
+    if num_procs > 0:
+        if getattr(dataset, "augment", False) and dataset.seed is None:
+            raise ValueError(
+                "process-based prefetch needs a seeded Crops dataset "
+                "(augmentation RNG must be visit-order-independent)")
+        import multiprocessing as mp
+        from concurrent.futures import ProcessPoolExecutor
+
+        # spawn, not fork: the parent typically holds an initialized
+        # JAX/TPU backend whose state must not be forked; spawned
+        # workers never touch jax (pure PIL/numpy decode+augment)
+        pool = ProcessPoolExecutor(
+            max_workers=num_procs,
+            mp_context=mp.get_context("spawn"),
+            initializer=_init_crops_worker,
+            initargs=(dataset.path, dataset.augment, dataset.seed),
+        )
+
+        def fetch(sel):
+            return list(pool.map(_crops_worker_get,
+                                 [(epoch, int(i)) for i in sel]))
+    else:
+        from concurrent.futures import ThreadPoolExecutor
+
+        pool = ThreadPoolExecutor(max_workers=num_threads)
+
+        def fetch(sel):
+            return list(pool.map(dataset.__getitem__,
+                                 [int(i) for i in sel]))
+
     def produce():
-        with ThreadPoolExecutor(max_workers=num_threads) as pool:
+        try:
             for sel in batches:
                 if stop.is_set():
                     break
-                samples = list(pool.map(dataset.__getitem__,
-                                        [int(i) for i in sel]))
+                samples = fetch(sel)
                 q.put({k: np.stack([s[k] for s in samples])
                        for k in samples[0]})
-        q.put(None)
+        finally:
+            pool.shutdown(wait=False)
+            q.put(None)
 
     t = threading.Thread(target=produce, daemon=True)
     t.start()

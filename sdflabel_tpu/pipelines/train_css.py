@@ -133,14 +133,26 @@ def train_css(cfgp, max_epochs: int | None = None, mesh=None):
     last_batch, last_pred_vis = None, None
     for epoch in range(start_epoch, epochs):
         trainset.set_epoch(epoch)
+        # cpu_threads maps to worker PROCESSES when the aug stream is
+        # seeded (the reference's num_workers are processes too,
+        # train_css.py:42-45) — the PIL decode+augment chain is GIL-bound,
+        # so threads cap near 1x single-core throughput (BENCH_NOTES r5).
+        use_procs = cfg.cpu_threads if cfg.seed >= 0 else 0
         for batch_idx, batch_np in enumerate(
             prefetch_iterator(trainset, cfg.batch_size,
                               num_threads=cfg.cpu_threads,
+                              num_procs=use_procs, epoch=epoch,
                               queue_size=cfg.queue_size, shuffle=True,
                               seed=epoch)
         ):
+            # uvw/mask upload as uint8 (labels < 256, mask 0/1): the
+            # train step casts to int32 on device (css_losses), and the
+            # int64 host arrays would otherwise dominate the
+            # host->device batch upload 8:1 (BENCH_NOTES r5 e2e rows —
+            # on a remote-dispatch link the upload is on the step path).
             batch = {
-                k: jnp.asarray(v)
+                k: jnp.asarray(v.astype(np.uint8)
+                               if k in ("uvw", "mask") else v)
                 for k, v in batch_np.items()
                 if k in ("rgb", "uvw", "mask", "latent")
             }

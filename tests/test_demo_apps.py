@@ -173,6 +173,45 @@ def test_prefetch_iterator_matches_sync(tmp_path):
         np.testing.assert_array_equal(a["rgb"], b["rgb"])
 
 
+def test_prefetch_processes_match_threads(tmp_path):
+    """Process-pool prefetch (round 5: the reference's DataLoader-worker
+    analogue — the PIL augment chain is GIL-bound so threads cap near 1x
+    single-core; BENCH_NOTES r5 'CSS training end-to-end'): bit-exact vs
+    the thread path under a SEEDED aug stream (per-(seed, epoch, idx)
+    RNG is visit-order- and worker-count-independent), and refused for
+    unseeded augmentation."""
+    import pytest as _pytest
+    from PIL import Image
+
+    from sdflabel_tpu.data.crops import Crops, prefetch_iterator
+
+    gt = {}
+    rng = np.random.RandomState(1)
+    for i in range(8):
+        rgb = (rng.rand(40, 40, 3) * 255).astype(np.uint8)
+        uvw = (rng.rand(40, 40, 3) * 255).astype(np.uint8)
+        Image.fromarray(rgb).save(tmp_path / f"{i:05d}_rgb.png")
+        Image.fromarray(uvw).save(tmp_path / f"{i:05d}_uvw.png")
+        gt[str(i)] = [{"latent": [0.0] * 3,
+                       "extrinsics": np.eye(4).reshape(-1).tolist(),
+                       "intrinsics": np.eye(3).reshape(-1).tolist()}]
+    (tmp_path / "crops.json").write_text(json.dumps(gt))
+
+    ds = Crops(str(tmp_path), augment=True, seed=5)
+    ds.set_epoch(3)
+    th = list(prefetch_iterator(ds, 4, num_threads=2, seed=9, epoch=3))
+    pr = list(prefetch_iterator(ds, 4, num_procs=2, num_threads=0,
+                                seed=9, epoch=3))
+    assert len(th) == len(pr) == 2
+    for a, b in zip(th, pr):
+        for k in a:
+            np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+
+    ds_unseeded = Crops(str(tmp_path), augment=True, seed=None)
+    with _pytest.raises(ValueError, match="seeded"):
+        next(iter(prefetch_iterator(ds_unseeded, 4, num_procs=2)))
+
+
 def test_refine_runtime_bf16_precision(dsdf_ckpt):
     from sdflabel_tpu import config as cfg_mod
     from sdflabel_tpu.pipelines.refine_css import RefineRuntime
