@@ -411,7 +411,11 @@ def bench_driver_crop():
 
 E2E_CASES = [(13, "float32", "threads"), (13, "float32", "procs"),
              (52, "float32", "procs"), (104, "float32", "procs"),
-             (52, "bfloat16", "procs")]
+             (52, "bfloat16", "procs"),
+             # fast input backend ([train] fast_input: cv2/numpy augs
+             # from a decoded-uint8 preload cache, GIL-releasing thread
+             # prefetch — data/crops.py fast path)
+             (104, "float32", "fast"), (52, "bfloat16", "fast")]
 
 
 def _ensure_bench_crops_db(n=2496, px=160):
@@ -464,6 +468,7 @@ def bench_css_train_e2e():
 
     root = _ensure_bench_crops_db()
     ds = Crops(root, augment=True, seed=1)
+    ds_fast = None  # built + preloaded lazily (first fast case)
     model = css_mod.CSSNet(use_running_average=False)
     variables = model.init(jax.random.PRNGKey(0),
                            jnp.zeros((1, 3, CSS_RES, CSS_RES)))
@@ -472,7 +477,16 @@ def bench_css_train_e2e():
     out = {}
     for batch, prec, mode in E2E_CASES:
         tag = (f"b{batch}" + ("_bf16" if prec == "bfloat16" else "")
-               + ("_threads" if mode == "threads" else ""))
+               + ("_threads" if mode == "threads" else "")
+               + ("_fast" if mode == "fast" else ""))
+        if mode == "fast" and ds_fast is None:
+            ds_fast = Crops(root, augment=True, seed=1, fast=True)
+            t0 = time.perf_counter()
+            ds_fast.preload(num_threads=8)
+            print(f"# css e2e fast preload: "
+                  f"{time.perf_counter() - t0:.1f}s for {len(ds_fast)}",
+                  file=sys.stderr, flush=True)
+        case_ds = ds_fast if mode == "fast" else ds
         m = (css_mod.CSSNet(use_running_average=False,
                             dtype=jnp.bfloat16)
              if prec == "bfloat16" else model)
@@ -485,9 +499,9 @@ def bench_css_train_e2e():
         def batches():
             epoch = 0
             while True:
-                ds.set_epoch(epoch)
+                case_ds.set_epoch(epoch)
                 yield from prefetch_iterator(
-                    ds, batch, num_threads=nw,
+                    case_ds, batch, num_threads=nw,
                     num_procs=(nw if mode == "procs" else 0),
                     epoch=epoch, queue_size=10, seed=epoch,
                     drop_last=True)

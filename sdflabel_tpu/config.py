@@ -274,6 +274,15 @@ class TrainCfg:
     # BENCH_NOTES "Direct-CE"). Set False for the bit-level parity
     # formulation (same objective either way).
     direct_ce: bool = True
+    # Fast input pipeline (TPU extension, data.crops fast backend):
+    # cv2/numpy decode + augmentation with a decoded-uint8 preload cache
+    # and GIL-releasing thread prefetch. Identical augmentation
+    # PARAMETER stream to the PIL path (shared rng draws), but not
+    # bit-equal pixels (resampling/rounding differ at the LSB level) —
+    # so it stays opt-in; False keeps the reference-parity PIL chain
+    # (torchvision's backend, reference crops.py:44-71). Measured in
+    # BENCH_NOTES round-5 "CSS training end-to-end".
+    fast_input: bool = False
     epochs: int = 5000000
     lr: float = 0.001
     queue_size: int = 10
@@ -302,6 +311,9 @@ class TrainCfg:
             ),
             direct_ce=read_cfg_bool(
                 cfgp, "train", "direct_ce", cls.direct_ce
+            ),
+            fast_input=read_cfg_bool(
+                cfgp, "train", "fast_input", cls.fast_input
             ),
             epochs=read_cfg_int(cfgp, "train", "epochs", cls.epochs),
             lr=read_cfg_float(cfgp, "train", "lr", cls.lr),

@@ -25,30 +25,120 @@ IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
 IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
 
 
-def _color_jitter(img: Image.Image, rng: random.Random,
-                  brightness=0.4, contrast=0.4, saturation=0.4, hue=0.2):
-    """torchvision ColorJitter semantics: uniform factors, random order."""
-    from PIL import ImageEnhance
+def _color_jitter_params(rng: random.Random, brightness=0.4, contrast=0.4,
+                         saturation=0.4, hue=0.2):
+    """Draw torchvision-ColorJitter factors + application order.
 
-    ops = []
+    Shared by the PIL and fast (cv2/numpy) backends: both consume the
+    SAME rng call sequence (4 uniforms + one shuffle of a 4-list), so a
+    given (seed, epoch, idx) draws identical augmentation parameters on
+    either backend."""
     b = rng.uniform(max(0.0, 1 - brightness), 1 + brightness)
     c = rng.uniform(max(0.0, 1 - contrast), 1 + contrast)
     s = rng.uniform(max(0.0, 1 - saturation), 1 + saturation)
     h = rng.uniform(-hue, hue)
-    ops.append(lambda im: ImageEnhance.Brightness(im).enhance(b))
-    ops.append(lambda im: ImageEnhance.Contrast(im).enhance(c))
-    ops.append(lambda im: ImageEnhance.Color(im).enhance(s))
+    order = [("brightness", b), ("contrast", c), ("color", s), ("hue", h)]
+    rng.shuffle(order)
+    return order
 
-    def hue_shift(im):
-        hsv = np.array(im.convert("HSV"), dtype=np.int16)
-        hsv[..., 0] = (hsv[..., 0] + int(h * 255)) % 256
-        return Image.fromarray(hsv.astype(np.uint8), "HSV").convert("RGB")
 
-    ops.append(hue_shift)
-    rng.shuffle(ops)
-    for op in ops:
-        img = op(img)
+def _color_jitter(img: Image.Image, rng: random.Random):
+    """torchvision ColorJitter semantics: uniform factors, random order."""
+    from PIL import ImageEnhance
+
+    for name, f in _color_jitter_params(rng):
+        if name == "brightness":
+            img = ImageEnhance.Brightness(img).enhance(f)
+        elif name == "contrast":
+            img = ImageEnhance.Contrast(img).enhance(f)
+        elif name == "color":
+            img = ImageEnhance.Color(img).enhance(f)
+        else:  # hue
+            hsv = np.array(img.convert("HSV"), dtype=np.int16)
+            hsv[..., 0] = (hsv[..., 0] + int(f * 255)) % 256
+            img = Image.fromarray(hsv.astype(np.uint8), "HSV").convert("RGB")
     return img
+
+
+# ---------------------------------------------------------------------------
+# Fast augmentation backend (cv2 + numpy, GIL-releasing)
+#
+# Numerically CLOSE but not bit-equal to the PIL path: identical
+# augmentation PARAMETERS (shared _color_jitter_params rng stream,
+# same rotate/crop geometry), slightly different resampling (cv2
+# bilinear is not antialiased on downscale; HSV/grayscale rounding
+# differs by <=1 LSB). Exists because the PIL chain is the measured
+# input-pipeline bottleneck for CSS training (BENCH_NOTES round 5:
+# 55-68% input share even with process workers): cv2/numpy release the
+# GIL, so THREAD prefetch reaches full parallelism with zero IPC
+# pickling cost. Opt-in ([train] fast_input); PIL stays the
+# reference-parity default (the reference augments via torchvision's
+# PIL backend, crops.py:44-71).
+# ---------------------------------------------------------------------------
+
+
+def _luma_u8(img: np.ndarray) -> np.ndarray:
+    """PIL convert('L') luma: (299 R + 587 G + 114 B) / 1000, rounded."""
+    r = img[..., 0].astype(np.uint32)
+    g = img[..., 1].astype(np.uint32)
+    b = img[..., 2].astype(np.uint32)
+    return ((r * 19595 + g * 38470 + b * 7471 + 0x8000) >> 16).astype(
+        np.uint8)
+
+
+def _blend_u8(low: np.ndarray, img: np.ndarray, f: float) -> np.ndarray:
+    """PIL ImageEnhance blend: low + f * (img - low), clipped to u8."""
+    out = low.astype(np.float32) + f * (
+        img.astype(np.float32) - low.astype(np.float32))
+    return np.clip(out + 0.5, 0.0, 255.0).astype(np.uint8)
+
+
+def _fast_color_jitter(img: np.ndarray, order) -> np.ndarray:
+    """Apply ColorJitter ops to a HxWx3 uint8 array (cv2/numpy)."""
+    import cv2
+
+    for name, f in order:
+        if name == "brightness":
+            img = _blend_u8(np.zeros_like(img), img, f)
+        elif name == "contrast":
+            mean = int(np.mean(_luma_u8(img)) + 0.5)
+            img = _blend_u8(np.full_like(img, mean), img, f)
+        elif name == "color":
+            gray = _luma_u8(img)[..., None]
+            img = _blend_u8(np.broadcast_to(gray, img.shape), img, f)
+        else:  # hue: full-range HSV (H in [0,255], like PIL's HSV mode)
+            hsv = cv2.cvtColor(img, cv2.COLOR_RGB2HSV_FULL)
+            # uint8 addition wraps mod 256 — exactly the PIL path's
+            # (h + shift) % 256
+            hsv[..., 0] = hsv[..., 0] + np.uint8(int(f * 255) % 256)
+            img = cv2.cvtColor(hsv, cv2.COLOR_HSV2RGB_FULL)
+    return img
+
+
+def _fast_rotate_expand(img: np.ndarray, angle: float,
+                        nearest: bool) -> np.ndarray:
+    """PIL Image.rotate(angle, expand=True) analogue via warpAffine."""
+    import cv2
+
+    h, w = img.shape[:2]
+    m = cv2.getRotationMatrix2D((w / 2.0, h / 2.0), angle, 1.0)
+    cos, sin = abs(m[0, 0]), abs(m[0, 1])
+    nw = int(np.ceil(h * sin + w * cos))
+    nh = int(np.ceil(h * cos + w * sin))
+    m[0, 2] += (nw - w) / 2.0
+    m[1, 2] += (nh - h) / 2.0
+    return cv2.warpAffine(
+        img, m, (nw, nh),
+        flags=cv2.INTER_NEAREST if nearest else cv2.INTER_LINEAR,
+        borderMode=cv2.BORDER_CONSTANT, borderValue=0)
+
+
+def _fast_resize(img: np.ndarray, size: int, nearest: bool) -> np.ndarray:
+    import cv2
+
+    return cv2.resize(
+        img, (size, size),
+        interpolation=cv2.INTER_NEAREST if nearest else cv2.INTER_LINEAR)
 
 
 def _random_resized_crop_params(rng: random.Random, w: int, h: int,
@@ -80,12 +170,15 @@ class Crops:
     stateful RNG is used (reference behavior).
     """
 
-    def __init__(self, path: str, augment: bool = True, seed: int | None = None):
+    def __init__(self, path: str, augment: bool = True,
+                 seed: int | None = None, fast: bool = False):
         self.path = path
         self.augment = augment
         self.seed = seed
+        self.fast = fast
         self._epoch = 0
         self._rng = random.Random(seed)
+        self._cache: dict[int, tuple] = {}
         with open(os.path.join(path, "crops.json")) as f:
             self.gt = json.load(f)
 
@@ -95,8 +188,77 @@ class Crops:
     def __len__(self):
         return len(self.gt)
 
+    def _decode_fast(self, idx: int):
+        """cv2 PNG decode -> (rgb, uvw) uint8 HxWx3 arrays."""
+        import cv2
+
+        cached = self._cache.get(idx)
+        if cached is not None:
+            return cached
+        rgb = cv2.cvtColor(
+            cv2.imread(os.path.join(self.path, f"{idx:05d}_rgb.png"),
+                       cv2.IMREAD_COLOR), cv2.COLOR_BGR2RGB)
+        uvw = cv2.cvtColor(
+            cv2.imread(os.path.join(self.path, f"{idx:05d}_uvw.png"),
+                       cv2.IMREAD_COLOR), cv2.COLOR_BGR2RGB)
+        return rgb, uvw
+
+    def preload(self, num_threads: int = 8) -> None:
+        """Decode every crop pair ONCE into an in-memory uint8 cache.
+
+        PNG decode is paid per (sample, epoch) otherwise; the whole
+        reference-scale DB fits in host RAM (~100 KB/sample decoded).
+        cv2's decoder releases the GIL, so the warm-up pass threads."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=num_threads) as pool:
+            for idx, pair in enumerate(
+                    pool.map(self._decode_fast, range(len(self)))):
+                self._cache[idx] = pair
+
+    def _getitem_fast(self, idx: int, gt_sample: dict) -> dict:
+        """cv2/numpy sample path: same augmentation parameter stream as
+        the PIL path (see _color_jitter_params), GIL-releasing ops,
+        uint8 uvw/mask staging (consumers cast on device)."""
+        rgb, uvw = self._decode_fast(idx)
+        crop_size = np.asarray((rgb.shape[1], rgb.shape[0]), np.int64)
+
+        if self.augment:
+            rng = (random.Random(f"{self.seed}/{self._epoch}/{idx}")
+                   if self.seed is not None else self._rng)
+            rgb = _fast_color_jitter(rgb, _color_jitter_params(rng))
+            angle = rng.uniform(-10, 10)
+            rgb = _fast_rotate_expand(rgb, angle, nearest=False)
+            uvw = _fast_rotate_expand(uvw, angle, nearest=True)
+            rgb = _fast_resize(rgb, 128, nearest=False)
+            uvw = _fast_resize(uvw, 128, nearest=True)
+            i, j, ch, cw = _random_resized_crop_params(rng, 128, 128)
+            rgb = _fast_resize(rgb[i:i + ch, j:j + cw], 128, nearest=False)
+            uvw = _fast_resize(uvw[i:i + ch, j:j + cw], 128, nearest=True)
+        else:
+            rgb = _fast_resize(rgb, 128, nearest=False)
+            uvw = _fast_resize(uvw, 128, nearest=True)
+
+        rgb_np = rgb.astype(np.float32) / 255.0
+        rgb_np = (rgb_np - IMAGENET_MEAN) / IMAGENET_STD
+        mask = (uvw.astype(np.uint16).sum(-1) > 0).astype(np.uint8)
+
+        return {
+            "rgb": np.transpose(rgb_np, (2, 0, 1)),  # (3,128,128) f32
+            "uvw": np.transpose(uvw, (2, 0, 1)),  # (3,128,128) uint8
+            "mask": mask,  # (128,128) uint8
+            "latent": np.array(gt_sample["latent"], np.float32),
+            "crop_size": crop_size,
+            "intrinsics": np.array(gt_sample["intrinsics"],
+                                   np.float32).reshape(3, 3),
+            "pose": np.array(gt_sample["extrinsics"],
+                             np.float32).reshape(4, 4),
+        }
+
     def __getitem__(self, idx: int) -> dict:
         gt_sample = self.gt[str(idx)][0]
+        if self.fast:
+            return self._getitem_fast(idx, gt_sample)
         rgb = Image.open(
             os.path.join(self.path, f"{idx:05d}_rgb.png")
         ).convert("RGB")
@@ -166,9 +328,9 @@ def batch_iterator(dataset, batch_size: int, shuffle: bool = True,
 _WORKER_DS: "Crops | None" = None
 
 
-def _init_crops_worker(path, augment, seed):
+def _init_crops_worker(path, augment, seed, fast=False):
     global _WORKER_DS
-    _WORKER_DS = Crops(path, augment=augment, seed=seed)
+    _WORKER_DS = Crops(path, augment=augment, seed=seed, fast=fast)
 
 
 def _crops_worker_get(args):
@@ -231,7 +393,8 @@ def prefetch_iterator(dataset, batch_size: int, num_threads: int = 2,
             max_workers=num_procs,
             mp_context=mp.get_context("spawn"),
             initializer=_init_crops_worker,
-            initargs=(dataset.path, dataset.augment, dataset.seed),
+            initargs=(dataset.path, dataset.augment, dataset.seed,
+                      getattr(dataset, "fast", False)),
         )
 
         def fetch(sel):

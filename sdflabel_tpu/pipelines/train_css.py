@@ -85,7 +85,12 @@ def train_css(cfgp, max_epochs: int | None = None, mesh=None):
             f"{cfg.precision!r}")
     os.makedirs(cfg.log_dir, exist_ok=True)
     trainset = Crops(cfg.data_path,
-                     seed=None if cfg.seed < 0 else cfg.seed)
+                     seed=None if cfg.seed < 0 else cfg.seed,
+                     fast=cfg.fast_input)
+    if cfg.fast_input:
+        # decode the whole DB once up front; epochs then augment from
+        # the in-memory uint8 cache (data.crops fast backend)
+        trainset.preload(num_threads=max(cfg.cpu_threads, 4))
     # latent head sized from the crops DB supervision (3 = the reference
     # architecture; in-framework DBs from make_crops may differ)
     latent_size = len(trainset.gt["0"][0]["latent"])
@@ -137,7 +142,11 @@ def train_css(cfgp, max_epochs: int | None = None, mesh=None):
         # seeded (the reference's num_workers are processes too,
         # train_css.py:42-45) — the PIL decode+augment chain is GIL-bound,
         # so threads cap near 1x single-core throughput (BENCH_NOTES r5).
-        use_procs = cfg.cpu_threads if cfg.seed >= 0 else 0
+        # The fast (cv2) backend releases the GIL and augments from the
+        # preloaded cache, so it stays on THREADS — worker processes
+        # would re-decode the DB per worker and pay IPC pickling.
+        use_procs = (cfg.cpu_threads
+                     if cfg.seed >= 0 and not cfg.fast_input else 0)
         for batch_idx, batch_np in enumerate(
             prefetch_iterator(trainset, cfg.batch_size,
                               num_threads=cfg.cpu_threads,
