@@ -889,7 +889,10 @@ def main():
             if SHIP_CELLS:
                 # composed refresh decodes (d/2)^3 corners + cells*8
                 # points instead of the full d^3 grid
-                ratio = ((GRID_DENSITY // 2) ** 3 + SHIP_CELLS * 8) \
+                # corner-LATTICE coarse pass ((d/2+1)^3 shared corners,
+                # ops.grid._cell_corner_lattice_np) + selected cells'
+                # children
+                ratio = ((GRID_DENSITY // 2 + 1) ** 3 + SHIP_CELLS * 8) \
                     / GRID_DENSITY ** 3
                 s1_refresh *= ratio
                 s1b_refresh *= ratio

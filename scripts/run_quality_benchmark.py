@@ -81,6 +81,13 @@ VARIANTS = {
                  "ini": {**W10, "warm_refresh_cells": "0"}},
     "warm_r10_c2f": {"batched": True, "ini": W10},
     "warm_r20_c2f": {"batched": True, "ini": W20},
+    # budget-margin composed refresh (r5 corner-scoring follow-up): the
+    # 8-corner score fixed the easy-tier regression at cells=2048;
+    # 4096 doubles the cell budget to resolve whether the residual
+    # moderate/hard wobble is budget-driven or one-object noise
+    "warm_r10_c2f4096": {
+        "batched": True,
+        "ini": {**W10, "warm_refresh_cells": "4096"}},
     "coarse_to_fine": {"batched": True,
                        "ini": {"warm_band": "0", "coarse_cells": "1024"}},
     # the EXACT shipping combination: every config default, no overrides
@@ -202,7 +209,13 @@ def _agg(pairs, n_gt, n_est):
             "p95": _pctl(dyaw, 95)},
         "iou3d": {"mean": _pctl(iou, 50) and round(
             float(np.mean(iou)), 4), "p50": _pctl(iou, 50),
-            "p05": _pctl(iou, 5)},
+            "p05": _pctl(iou, 5),
+            # borderline-object resolution: KITTI Car 3D AP counts a
+            # match only at IoU >= 0.7, so ONE object crossing that
+            # line moves AP by points on a small suite — these counts
+            # separate a systematic shift from a single-object flip
+            "n_ge_070": int(sum(v >= 0.70 for v in iou)),
+            "n_065_070": int(sum(0.65 <= v < 0.70 for v in iou))},
     }
 
 

@@ -101,10 +101,11 @@ def make_sharded_refine_fn(
 
     cfg.coarse_cells enables the coarse-to-fine selection pass per shard
     (grid.surface_from_decoder semantics, distributed): the grid is
-    re-laid-out cell-major so each chip owns whole coarse cells, decodes
-    one representative per local cell, keeps its ~coarse_cells/n_dev best
-    cells, and band-selects only among their children. Same approximation
-    contract as the single-device path, with the budget split per shard.
+    re-laid-out cell-major so each chip owns whole coarse cells, scores
+    each local cell from its 2 diagonal children (see cell_scores),
+    keeps its ~coarse_cells/n_dev best cells, and band-selects only
+    among their children. Same approximation contract as the
+    single-device path, with the budget split per shard.
 
     cfg.warm_band enables warm-started band selection (the distributed
     analogue of engine.refine's warm_band; here only the pool ==
@@ -240,6 +241,28 @@ def make_sharded_refine_fn(
         _, sel = jax.lax.top_k(all_neg, cap)
         return jnp.take(all_pts, sel, axis=0)
 
+    if cells_budget is not None:
+        def cell_scores(latent, blk):
+            """Shard-local coarse cell score: 2 DIAGONAL children
+            (offsets 0 and (r-1,..)) — sign change across the main
+            diagonal scores 0 (surface provably near), else min |sdf|.
+            The shard-local approximation of ops.grid's shared-lattice
+            8-corner score (the cell-major shard layout cannot share
+            corner decodes across shard boundaries); 2x the coarse
+            decode of the old single-representative score, which missed
+            surface-crossing cells and measured a -3.0 3D AP
+            distant-object regression (QUALITY_r05, BENCH_NOTES r5).
+            Returns top_k-ready scores (higher = better), pads -inf."""
+            s0 = jax.lax.stop_gradient(
+                sel_dec(latent, blk[:, 0]).reshape(-1))
+            s1 = jax.lax.stop_gradient(
+                sel_dec(latent, blk[:, -1]).reshape(-1))
+            sign_change = (jnp.minimum(s0, s1) < 0) \
+                & (jnp.maximum(s0, s1) > 0)
+            score = jnp.where(sign_change, 0.0,
+                              jnp.minimum(jnp.abs(s0), jnp.abs(s1)))
+            return jnp.where(blk[:, 0, 0] < 10.0, -score, -jnp.inf)
+
     if warm_cells is not None:
         def cell_refresh(latent, grid_block):
             """Composed warm refresh: sharded stage-0 cell pass, then the
@@ -247,11 +270,8 @@ def make_sharded_refine_fn(
             the distributed twin of engine.refine's composed refresh
             (grid.band_candidates(coarse_cells=...))."""
             blk = grid_block.reshape(-1, r3, 3)  # (cells_local, r^3, 3)
-            sdf_rep = jax.lax.stop_gradient(
-                sel_dec(latent, blk[:, 0]).reshape(-1))
-            score_rep = jnp.where(blk[:, 0, 0] < 10.0,
-                                  -jnp.abs(sdf_rep), -jnp.inf)
-            _, cell_idx = jax.lax.top_k(score_rep, kc_local)
+            _, cell_idx = jax.lax.top_k(cell_scores(latent, blk),
+                                        kc_local)
             cand_grid = jnp.take(blk, cell_idx, axis=0).reshape(-1, 3)
             return select_band(latent, cand_grid)
 
@@ -285,16 +305,12 @@ def make_sharded_refine_fn(
             # validity mask, so no selection decode runs at all.
             pts_sel = jax.lax.stop_gradient(pts_warm)
         elif cfg.coarse_cells is not None:
-            # stage 0: local coarse cell selection on cell corner points,
-            # then the shared local-top-k/all_gather/global-top-k tail
+            # stage 0: local coarse cell selection (diagonal 2-corner
+            # score, see cell_scores), then the shared local-top-k/
+            # all_gather/global-top-k tail
             blk = grid_block.reshape(-1, r3, 3)  # (cells_local, r^3, 3)
-            sdf_rep = jax.lax.stop_gradient(
-                sel_dec(latent, blk[:, 0]).reshape(-1)
-            )
-            # mask pad cells (1e3 sentinel corners) — see select_band
-            score_rep = jnp.where(blk[:, 0, 0] < 10.0,
-                                  -jnp.abs(sdf_rep), -jnp.inf)
-            _, cell_idx = jax.lax.top_k(score_rep, kc_local)
+            _, cell_idx = jax.lax.top_k(cell_scores(latent, blk),
+                                        kc_local)
             cand_grid = jnp.take(blk, cell_idx, axis=0).reshape(-1, 3)
             pts_sel = select_band(latent, cand_grid)
         else:

@@ -313,3 +313,48 @@ def test_surface_capacity_mask():
     assert surf.mask.shape == (16,)
     # Capacity smaller than band: all slots valid.
     assert bool(np.all(np.asarray(surf.mask)))
+
+
+def test_coarse_cell_scoring_sign_change_recall():
+    """The 8-corner cell score (VERDICT r5: replaces the single
+    representative corner that caused the -3.0 AP distant-object
+    regression) selects EVERY surface-crossing cell when the budget
+    allows, and the composed band recovers the full-grid band on a
+    wavy surface whose crossing cells a single-corner score can miss."""
+    d, factor = 16, 2
+    pts = grid_ops.generate_point_grid(d)
+
+    def decoder(_latent, p):
+        return p[:, 2] - 0.25 * jnp.sin(4 * p[:, 0]) * jnp.cos(4 * p[:, 1])
+
+    # ground truth: cells whose 8 corners change sign (numpy oracle)
+    lattice_np, cell2corner_np = grid_ops._cell_corner_lattice_np(d, factor)
+    corner_sdf = np.asarray(decoder(None, jnp.asarray(
+        np.asarray(pts)[lattice_np])))
+    cs = corner_sdf[cell2corner_np]
+    crossing = ((cs.min(1) < 0) & (cs.max(1) > 0)).nonzero()[0]
+    assert len(crossing) > 20  # the wave crosses many cells
+
+    children = grid_ops._cell_children_np(d, factor)
+    sel = grid_ops._coarse_cell_candidates(
+        decoder, None, pts, d, factor, len(crossing),
+        jnp.asarray(children))
+    # map selected child indices back to their cells via the children table
+    child_to_cell = np.full(d**3, -1, np.int64)
+    for c, row in enumerate(children):
+        child_to_cell[row] = c
+    sel_cells = set(child_to_cell[np.asarray(sel).reshape(-1)])
+    assert set(crossing).issubset(sel_cells), \
+        "a sign-change cell was dropped despite available budget"
+
+    # composed band ~= full band given a small budget margin (a few
+    # band points live in cells ADJACENT to the wave whose corners do
+    # not straddle zero; the min-|corner| term ranks those next)
+    n_band = 128
+    full = np.sort(np.asarray(
+        grid_ops.band_candidates(decoder, None, pts, n_band)))
+    comp = np.sort(np.asarray(grid_ops.band_candidates(
+        decoder, None, pts, n_band, coarse_cells=len(crossing) + 24,
+        coarse_factor=factor)))
+    recall = np.isin(full, comp).mean()
+    assert recall >= 0.97, f"composed band recall {recall:.3f}"
