@@ -52,8 +52,9 @@ def _cell_children_np(density: int, factor: int) -> np.ndarray:
     """(Nc, factor^3) flat indices of each coarse cell's fine grid points.
 
     The density^3 grid (flattened ij-order: idx = x*d^2 + y*d + z) is tiled
-    into (density/factor)^3 cells of factor^3 points each. Column 0 is the
-    cell's corner point, used as the cell's SDF representative.
+    into (density/factor)^3 cells of factor^3 points each. Column 0 is
+    the cell's origin-corner point (cell SCORING uses the shared corner
+    lattice instead — see _cell_corner_lattice_np).
     """
     d, r = density, factor
     if d % r != 0:
