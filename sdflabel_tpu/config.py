@@ -127,17 +127,21 @@ class RefineCfg:
     warm_refresh: int = 10
     # Composed refresh: the warm candidate refresh runs through the
     # coarse-to-fine CELL pass with this many cells instead of the full
-    # grid (+9.4% refinement rays/s, BENCH_NOTES "Composed warm"). The
-    # runtime clamps to the cell count and falls back to a full-grid
-    # refresh when the warm pool wouldn't fit cells*8 or the density is
-    # odd. DEFAULT 0 (full-grid refresh) since round 5: the
-    # DISCRIMINATIVE quality suite v2 measured the cell-pass refresh at
-    # -3.0 KITTI 3D AP (easy @0.7, distant-object degradation,
-    # QUALITY_r05.json warm_r10_c2f vs exact) where plain warm_band is
-    # quality-IDENTICAL to the exact path on every metric, tier, and
-    # stress axis. The round-4 default flip to 2048 was gated by the
-    # saturated v1 suite; v2 caught it. Opt back in for the +9.4% only
-    # where distant-object dimension accuracy doesn't matter.
+    # grid. The runtime clamps to the cell count and falls back to a
+    # full-grid refresh when the warm pool wouldn't fit cells*8 or the
+    # density is odd. DEFAULT 0 (full-grid refresh) since round 5: the
+    # DISCRIMINATIVE quality suite v2 measured the original
+    # (representative-corner) cell pass at -3.0 KITTI 3D AP (easy @0.7,
+    # distant-object degradation, QUALITY_r05.json) where plain
+    # warm_band is quality-IDENTICAL to the exact path on every metric,
+    # tier, and stress axis; the round-4 default flip to 2048 was gated
+    # by the saturated v1 suite, v2 caught it. The corner-lattice cell
+    # score (ops.grid._coarse_cell_candidates) then restored
+    # distant-object accuracy, but the fixed pass measures only +3.8%
+    # rays/s at bench scale / neutral at driver scale and one
+    # deterministic borderline object still separates its mAP from
+    # exact — so it stays opt-in (BENCH_NOTES "Corner-lattice cell
+    # scoring").
     warm_refresh_cells: int = 0
     # Crop-shape bucketing for the sequential driver path (TPU extension):
     # (h, w) rounds up to multiples of this and the crop letterboxes into
