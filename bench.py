@@ -480,7 +480,11 @@ def bench_css_train_e2e():
                + ("_threads" if mode == "threads" else "")
                + ("_fast" if mode == "fast" else ""))
         if mode == "fast" and ds_fast is None:
-            ds_fast = Crops(root, augment=True, seed=1, fast=True)
+            # uint8 staging: raw jittered pixels ship to the device and
+            # are normalized there (engine.css_train) — 4x smaller rgb
+            # upload on the step-critical path
+            ds_fast = Crops(root, augment=True, seed=1, fast=True,
+                            stage="uint8")
             t0 = time.perf_counter()
             ds_fast.preload(num_threads=8)
             print(f"# css e2e fast preload: "

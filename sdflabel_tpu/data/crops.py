@@ -171,11 +171,17 @@ class Crops:
     """
 
     def __init__(self, path: str, augment: bool = True,
-                 seed: int | None = None, fast: bool = False):
+                 seed: int | None = None, fast: bool = False,
+                 stage: str = "f32"):
+        if stage not in ("f32", "uint8"):
+            raise ValueError(f"stage must be 'f32' or 'uint8', got {stage!r}")
+        if stage == "uint8" and not fast:
+            raise ValueError("stage='uint8' requires fast=True")
         self.path = path
         self.augment = augment
         self.seed = seed
         self.fast = fast
+        self.stage = stage
         self._epoch = 0
         self._rng = random.Random(seed)
         self._cache: dict[int, tuple] = {}
@@ -239,12 +245,18 @@ class Crops:
             rgb = _fast_resize(rgb, 128, nearest=False)
             uvw = _fast_resize(uvw, 128, nearest=True)
 
-        rgb_np = rgb.astype(np.float32) / 255.0
-        rgb_np = (rgb_np - IMAGENET_MEAN) / IMAGENET_STD
+        if self.stage == "uint8":
+            # ship raw jittered pixels; engine.css_train normalizes on
+            # device ((x/255 - mean)/std, same fp32 math) — 4x smaller
+            # host->device upload and no host float conversion
+            rgb_np = rgb
+        else:
+            rgb_np = rgb.astype(np.float32) / 255.0
+            rgb_np = (rgb_np - IMAGENET_MEAN) / IMAGENET_STD
         mask = (uvw.astype(np.uint16).sum(-1) > 0).astype(np.uint8)
 
         return {
-            "rgb": np.transpose(rgb_np, (2, 0, 1)),  # (3,128,128) f32
+            "rgb": np.transpose(rgb_np, (2, 0, 1)),  # (3,128,128) f32|u8
             "uvw": np.transpose(uvw, (2, 0, 1)),  # (3,128,128) uint8
             "mask": mask,  # (128,128) uint8
             "latent": np.array(gt_sample["latent"], np.float32),
@@ -328,9 +340,10 @@ def batch_iterator(dataset, batch_size: int, shuffle: bool = True,
 _WORKER_DS: "Crops | None" = None
 
 
-def _init_crops_worker(path, augment, seed, fast=False):
+def _init_crops_worker(path, augment, seed, fast=False, stage="f32"):
     global _WORKER_DS
-    _WORKER_DS = Crops(path, augment=augment, seed=seed, fast=fast)
+    _WORKER_DS = Crops(path, augment=augment, seed=seed, fast=fast,
+                       stage=stage)
 
 
 def _crops_worker_get(args):
@@ -394,7 +407,8 @@ def prefetch_iterator(dataset, batch_size: int, num_threads: int = 2,
             mp_context=mp.get_context("spawn"),
             initializer=_init_crops_worker,
             initargs=(dataset.path, dataset.augment, dataset.seed,
-                      getattr(dataset, "fast", False)),
+                      getattr(dataset, "fast", False),
+                      getattr(dataset, "stage", "f32")),
         )
 
         def fetch(sel):

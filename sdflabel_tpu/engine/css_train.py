@@ -172,11 +172,25 @@ def make_train_step(lr: float, sm_hardness: float = 100.0, model=None,
     def train_step(state: TrainState, batch: dict):
         opt = make_optimizer(lr, state.variables["params"])
 
+        rgb = batch["rgb"]
+        if rgb.dtype == jnp.uint8:
+            # Device-side ImageNet normalization: the host ships the
+            # jittered pixels as uint8 (4x smaller step-critical
+            # host->device upload; data.crops stage="uint8") and the
+            # device computes the exact (x/255 - mean)/std the host
+            # path computes, in the same fp32 — value-identical to the
+            # host-normalized float batch (test_crops_fast).
+            from sdflabel_tpu.data.crops import IMAGENET_MEAN, IMAGENET_STD
+
+            rgb = (rgb.astype(jnp.float32) / 255.0
+                   - jnp.asarray(IMAGENET_MEAN).reshape(3, 1, 1)) \
+                / jnp.asarray(IMAGENET_STD).reshape(3, 1, 1)
+
         def loss_fn(params):
             pred, updates = model.apply(
                 {"params": params,
                  "batch_stats": state.variables["batch_stats"]},
-                batch["rgb"],
+                rgb,
                 mutable=["batch_stats"],
             )
             losses = css_losses(pred, batch, fused_ce=fused_ce,

@@ -86,10 +86,12 @@ def train_css(cfgp, max_epochs: int | None = None, mesh=None):
     os.makedirs(cfg.log_dir, exist_ok=True)
     trainset = Crops(cfg.data_path,
                      seed=None if cfg.seed < 0 else cfg.seed,
-                     fast=cfg.fast_input)
+                     fast=cfg.fast_input,
+                     stage="uint8" if cfg.fast_input else "f32")
     if cfg.fast_input:
         # decode the whole DB once up front; epochs then augment from
-        # the in-memory uint8 cache (data.crops fast backend)
+        # the in-memory uint8 cache (data.crops fast backend). rgb ships
+        # as raw uint8 pixels; engine.css_train normalizes on device.
         trainset.preload(num_threads=max(cfg.cpu_threads, 4))
     # latent head sized from the crops DB supervision (3 = the reference
     # architecture; in-framework DBs from make_crops may differ)
@@ -191,8 +193,14 @@ def train_css(cfgp, max_epochs: int | None = None, mesh=None):
                 vis_dir = os.path.join(cfg.log_dir, "vis")
                 os.makedirs(vis_dir, exist_ok=True)
                 model = css_mod.CSSNet(use_running_average=True)
-                pred = model.apply(state.variables,
-                                   jnp.asarray(last_batch["rgb"]))
+                vis_rgb = np.asarray(last_batch["rgb"])
+                if vis_rgb.dtype == np.uint8:  # fast_input uint8 staging
+                    from sdflabel_tpu.data.crops import (IMAGENET_MEAN,
+                                                         IMAGENET_STD)
+                    vis_rgb = (vis_rgb.astype(np.float32) / 255.0
+                               - IMAGENET_MEAN.reshape(3, 1, 1)) \
+                        / IMAGENET_STD.reshape(3, 1, 1)
+                pred = model.apply(state.variables, jnp.asarray(vis_rgb))
                 masked = np.asarray(pred["uvw_sm_masked"])
                 _save_png(os.path.join(vis_dir, f"uvw_predsm_{epoch}.png"),
                           masked)

@@ -183,3 +183,61 @@ def test_train_cfg_knob_default_off():
     assert TrainCfg.from_ini(cfgp).fast_input is False
     cfgp.read_dict({"train": {"fast_input": "True"}})
     assert TrainCfg.from_ini(cfgp).fast_input is True
+
+
+def test_uint8_staging_value_identical(smooth_db):
+    """stage='uint8' ships raw jittered pixels; engine.css_train
+    normalizes on device with the same fp32 (x/255 - mean)/std — the
+    train step must produce value-identical losses/gradients vs the
+    host-normalized f32 batch."""
+    import jax
+    import jax.numpy as jnp
+
+    from sdflabel_tpu.engine import css_train
+    from sdflabel_tpu.models import css as css_mod
+
+    f32 = Crops(smooth_db, augment=True, seed=4, fast=True)
+    u8 = Crops(smooth_db, augment=True, seed=4, fast=True, stage="uint8")
+    bf = next(batch_iterator(f32, 4, shuffle=False))
+    bu = next(batch_iterator(u8, 4, shuffle=False))
+    assert bu["rgb"].dtype == np.uint8
+    # the staged pixels really are the same image
+    recon = (bu["rgb"].astype(np.float32) / 255.0
+             - np.asarray([0.485, 0.456, 0.406], np.float32)
+             .reshape(3, 1, 1)) / IMAGENET_STD.reshape(3, 1, 1)
+    np.testing.assert_allclose(recon, bf["rgb"], atol=1e-6)
+
+    model = css_mod.CSSNet(use_running_average=False, width=8)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 3, 128, 128)))
+    variables = {"params": variables["params"],
+                 "batch_stats": variables["batch_stats"]}
+    step = jax.jit(css_train.make_train_step(
+        1e-3, model=css_mod.CSSNet(use_running_average=False, width=8),
+        direct_ce=True))
+    keep = {"rgb", "uvw", "mask", "latent"}
+
+    def run(b):
+        st = css_train.init_train_state(variables, 1e-3)
+        st, m = step(st, {k: jnp.asarray(v) for k, v in b.items()
+                          if k in keep})
+        return float(m["loss"]), st
+
+    loss_f, st_f = run(bf)
+    loss_u, st_u = run(bu)
+    assert abs(loss_f - loss_u) < 1e-5 * max(1.0, abs(loss_f))
+    # Adam rescales each gradient by 1/sqrt(v): a last-ulp fp32
+    # difference in the normalize (XLA fuses it differently than the
+    # host numpy chain) can move a near-zero coordinate's update by
+    # O(lr) — bound params by the Adam step size, not gradient ulps
+    for a, b in zip(jax.tree.leaves(st_f.variables["params"]),
+                    jax.tree.leaves(st_u.variables["params"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=3e-3)
+
+
+def test_stage_uint8_requires_fast(smooth_db):
+    with pytest.raises(ValueError, match="requires fast"):
+        Crops(smooth_db, stage="uint8")
+    with pytest.raises(ValueError, match="stage"):
+        Crops(smooth_db, fast=True, stage="f16")
