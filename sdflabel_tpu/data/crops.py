@@ -133,6 +133,37 @@ def _fast_rotate_expand(img: np.ndarray, angle: float,
         borderMode=cv2.BORDER_CONSTANT, borderValue=0)
 
 
+def _fast_geom(img: np.ndarray, angle: float, i: int, j: int, ch: int,
+               cw: int, nearest: bool, size: int = 128) -> np.ndarray:
+    """rotate-expand -> resize(size) -> crop(i,j,ch,cw) -> resize(size),
+    COMPOSED into one warpAffine: each output pixel resamples the
+    SOURCE exactly once (the chained PIL/cv2 form resamples 3x, each
+    pass blurring bilinear content and re-snapping nearest labels).
+    Same geometry as the chained form — the affines are composed
+    exactly — so augmentation parameters keep their meaning."""
+    import cv2
+
+    h, w = img.shape[:2]
+    rot = cv2.getRotationMatrix2D((w / 2.0, h / 2.0), angle, 1.0)
+    cos, sin = abs(rot[0, 0]), abs(rot[0, 1])
+    nw = int(np.ceil(h * sin + w * cos))
+    nh = int(np.ceil(h * cos + w * sin))
+    rot[0, 2] += (nw - w) / 2.0
+    rot[1, 2] += (nh - h) / 2.0
+    r3 = np.vstack([rot, [0.0, 0.0, 1.0]])
+    # resize (nw, nh) -> (size, size)
+    s3 = np.diag([size / nw, size / nh, 1.0])
+    # crop (j, i, cw, ch) in size-space, then resize back to (size, size)
+    c3 = np.array([[size / cw, 0.0, -j * size / cw],
+                   [0.0, size / ch, -i * size / ch],
+                   [0.0, 0.0, 1.0]])
+    m = (c3 @ s3 @ r3)[:2]
+    return cv2.warpAffine(
+        img, m, (size, size),
+        flags=cv2.INTER_NEAREST if nearest else cv2.INTER_LINEAR,
+        borderMode=cv2.BORDER_CONSTANT, borderValue=0)
+
+
 def _fast_resize(img: np.ndarray, size: int, nearest: bool) -> np.ndarray:
     import cv2
 
@@ -234,13 +265,9 @@ class Crops:
                    if self.seed is not None else self._rng)
             rgb = _fast_color_jitter(rgb, _color_jitter_params(rng))
             angle = rng.uniform(-10, 10)
-            rgb = _fast_rotate_expand(rgb, angle, nearest=False)
-            uvw = _fast_rotate_expand(uvw, angle, nearest=True)
-            rgb = _fast_resize(rgb, 128, nearest=False)
-            uvw = _fast_resize(uvw, 128, nearest=True)
             i, j, ch, cw = _random_resized_crop_params(rng, 128, 128)
-            rgb = _fast_resize(rgb[i:i + ch, j:j + cw], 128, nearest=False)
-            uvw = _fast_resize(uvw[i:i + ch, j:j + cw], 128, nearest=True)
+            rgb = _fast_geom(rgb, angle, i, j, ch, cw, nearest=False)
+            uvw = _fast_geom(uvw, angle, i, j, ch, cw, nearest=True)
         else:
             rgb = _fast_resize(rgb, 128, nearest=False)
             uvw = _fast_resize(uvw, 128, nearest=True)
